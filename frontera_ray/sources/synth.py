@@ -1,0 +1,224 @@
+"""Deterministic synthetic `pages` fixture generator (FIXTURES.md).
+
+Mirrors the reference's canned-site-graph test style (reference:
+frontera/utils/graphs/{data,manager}.py + tests/backends.py golden-sequence
+tests — approximate cites, SURVEY.md §0): a fixed link graph embedded in
+`html` anchors, crawled to golden URL sequences.
+
+Everything is a pure function of (num_hosts, pages_per_host / total_pages,
+seed) — no wall clock, no RNG state, no network. The `pages` table is EXACTLY
+the BASELINE.json input_hint shape:
+    url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+Link graph per page p{i} on site{s} (S hosts):
+    * same-host children p{2i+1}, p{2i+2} when they exist (binary tree ⇒
+      known BFS/DFS orders)
+    * one cross-host link to  site{(s+i) mod S}/p0
+    * one dead link /dead{i}  (scheduled, fetch-sim misses ⇒ ERROR path)
+    * one duplicate back-link to /p0 (dedup path)
+
+robots.txt rows: hosts with s % 7 == 3 disallow /p1 (that subtree never
+crawled); site4.test disallows everything; all others allow all.
+
+Dirty URL variants (host 0 only) must canonicalize onto clean rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.fingerprint import fp64, signed_crc32
+from .. import schema as S
+
+EPOCH_2026 = 1767225600_000000  # 2026-01-01T00:00:00 in microseconds
+
+_LOREM = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam "
+    "quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo"
+).split()
+
+_LANGS = ["en", "de", "fr", "zz"]
+
+
+def page_url(s: int, i: int) -> str:
+    return f"http://site{s}.test/p{i}"
+
+
+def robots_url(s: int) -> str:
+    return f"http://site{s}.test/robots.txt"
+
+
+def page_text(url: str) -> str:
+    """Deterministic text for a url — the byte-identity invariant column."""
+    d = hashlib.md5(url.encode()).digest()
+    words = [_LOREM[b % len(_LOREM)] for b in d[:12]]
+    return f"doc {url} " + " ".join(words)
+
+
+def page_lang(url: str) -> str:
+    return _LANGS[fp64(url) % 4]
+
+
+def page_ts(url: str) -> int:
+    """timestamp[us] value: 2026-01-01 + (fp64 % 86400) seconds."""
+    return EPOCH_2026 + (fp64(url) % 86400) * 1_000_000
+
+
+def outlinks(s: int, i: int, S_hosts: int, pages_on_host: int) -> list[str]:
+    """Raw hrefs embedded in p{i}'s html, in anchor order."""
+    links = []
+    for c in (2 * i + 1, 2 * i + 2):
+        if c < pages_on_host:
+            links.append(f"/p{c}")
+    links.append(f"http://site{(s + i) % S_hosts}.test/p0")
+    links.append(f"/dead{i}")
+    links.append("/p0")
+    return links
+
+
+def page_html(s: int, i: int, S_hosts: int, pages_on_host: int) -> bytes:
+    anchors = "".join(
+        f'<a href="{h}">l</a>' for h in outlinks(s, i, S_hosts, pages_on_host)
+    )
+    txt = page_text(page_url(s, i))
+    return f"<html><body>{txt}{anchors}</body></html>".encode()
+
+
+def robots_body(s: int) -> str:
+    if s == 4:
+        return "User-agent: *\nDisallow: /\n"
+    if s % 7 == 3:
+        return "User-agent: *\nDisallow: /p1\n"
+    return "User-agent: *\nDisallow:\n"
+
+
+@dataclass(frozen=True)
+class FixtureSpec:
+    num_hosts: int
+    pages_per_host: int          # uniform size; zipf overrides when total_pages set
+    total_pages: int | None = None  # zipf-distributed page counts (bench)
+    zipf_alpha: float = 1.2
+    dirty_variants: bool = True
+    num_partitions: int = 4
+
+    def host_sizes(self) -> np.ndarray:
+        if self.total_pages is None:
+            return np.full(self.num_hosts, self.pages_per_host, dtype=np.int64)
+        w = 1.0 / np.arange(1, self.num_hosts + 1) ** self.zipf_alpha
+        sizes = np.maximum(1, (w / w.sum() * self.total_pages).astype(np.int64))
+        return sizes
+
+
+SMOKE = FixtureSpec(num_hosts=5, pages_per_host=20)
+CONFORMANCE = FixtureSpec(num_hosts=50, pages_per_host=40)
+BENCH = FixtureSpec(num_hosts=2000, pages_per_host=0, total_pages=500_000,
+                    dirty_variants=False, num_partitions=32)
+
+
+def build_pages(spec: FixtureSpec) -> pa.Table:
+    """Build the full pages table (PAGES schema) deterministically."""
+    urls: list[str] = []
+    htmls: list[bytes] = []
+    texts: list[str] = []
+    sizes = spec.host_sizes()
+    for s in range(spec.num_hosts):
+        n = int(sizes[s])
+        for i in range(n):
+            u = page_url(s, i)
+            urls.append(u)
+            htmls.append(page_html(s, i, spec.num_hosts, n))
+            texts.append(page_text(u))
+        # robots row
+        u = robots_url(s)
+        body = robots_body(s)
+        urls.append(u)
+        htmls.append(body.encode())
+        texts.append(body)
+    if spec.dirty_variants:
+        # rows whose URL canonicalizes onto an existing clean row; content
+        # equals the clean target's content (dedup must be harmless).
+        variants = [
+            ("HTTP://Site0.TEST:80/p1#frag", page_url(0, 1)),
+            ("http://site0.test:80/p2", page_url(0, 2)),
+            ("http://site0.test/p0#x", page_url(0, 0)),
+        ]
+        for dirty, clean in variants:
+            urls.append(dirty)
+            htmls.append(page_html(0, int(clean.rsplit("p", 1)[1]),
+                                   spec.num_hosts, int(sizes[0])))
+            texts.append(page_text(clean))
+        # query-sorting pair: clean leaf page + dirty permutation of it
+        qclean = "http://site0.test/q?a=1&b=2"
+        for u in (qclean, "http://site0.test/q?b=2&a=1"):
+            urls.append(u)
+            htmls.append(f"<html><body>{page_text(qclean)}</body></html>".encode())
+            texts.append(page_text(qclean))
+
+    ts = [page_ts(u) for u in urls]
+    langs = [page_lang(u) for u in urls]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def build_seeds(spec: FixtureSpec) -> pa.Table:
+    """Seed list: site{s}/p0 for s in {0,1,2,4} (∩ existing hosts),
+    score = 1.0 − s/10. site4 is robots-blocked (must be filtered);
+    site3 is reachable only via cross-host links."""
+    ss = [s for s in (0, 1, 2, 4) if s < spec.num_hosts]
+    return pa.table(
+        {
+            "url": pa.array([page_url(s, 0) for s in ss], pa.string()),
+            "score": pa.array([1.0 - s / 10 for s in ss], pa.float64()),
+        }
+    )
+
+
+def write_fixture(out_dir: str, spec: FixtureSpec, overwrite: bool = False) -> dict:
+    """Write pages (one parquet part per host-hash partition → pruned /
+    resumable reads) + seeds. Idempotent via a _SUCCESS marker.
+
+    Returns {"pages_dir": ..., "seeds_path": ..., "parts": [...]}.
+    """
+    pages_dir = os.path.join(out_dir, "pages")
+    seeds_path = os.path.join(out_dir, "seeds.parquet")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker) and not overwrite:
+        parts = sorted(
+            os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
+            if f.endswith(".parquet")
+        )
+        return {"pages_dir": pages_dir, "seeds_path": seeds_path, "parts": parts}
+
+    os.makedirs(pages_dir, exist_ok=True)
+    tbl = build_pages(spec)
+    # partition by signed-crc32(host) % P — the same key every stateful
+    # stage shards on, so fetch-sim reads only the partitions it needs.
+    from ..functions.urlnorm import extract_host_array
+    from ..functions.fingerprint import crc32_batch, partitions_from_host_hash
+
+    hosts = extract_host_array(tbl["url"]).to_pylist()
+    parts_col = partitions_from_host_hash(crc32_batch(hosts), spec.num_partitions)
+    paths = []
+    for p in range(spec.num_partitions):
+        sub = tbl.filter(pa.array(parts_col == p))
+        path = os.path.join(pages_dir, f"part-{p:05d}.parquet")
+        pq.write_table(sub, path)
+        paths.append(path)
+    pq.write_table(build_seeds(spec), seeds_path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return {"pages_dir": pages_dir, "seeds_path": seeds_path, "parts": paths}
