@@ -1,0 +1,36 @@
+"""Crawl pipeline configuration (replaces the reference's Settings module —
+frontera/settings/__init__.py + default_settings.py, ~70 knobs; approximate
+cites, SURVEY.md §0). Only the knobs that matter for the Ray-Data engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+POLICIES = ("bfs", "dfs", "basic", "opic", "fifo", "random")
+
+
+@dataclass
+class CrawlConfig:
+    pages_paths: list[str]              # parquet part files of the pages table
+    seeds_path: str                     # parquet seed list (url, score)
+    checkpoint_dir: str                 # epoch-numbered state lives here
+    num_partitions: int = 4             # host shards: signed_crc32(host) % P
+    # politeness (reference: get_next_requests kwargs max_requests_per_host /
+    # min_hosts; MAX_NEXT_REQUESTS default 64 — core/components.py:~170)
+    max_requests_per_host: int = 2      # per host per epoch
+    min_hosts: int = 3                  # scheduler prefers host diversity
+    max_next_requests: int = 16         # per partition per epoch
+    max_epochs: int = 20
+    policy: str = "bfs"
+    seed: int = 42
+    seen_capacity: int = 1 << 20        # per-shard cuckoo capacity
+    obey_robots: bool = True
+    allowed_schemes: tuple = ("http", "https")
+    max_depth: int | None = None        # optional depth cutoff
+    batch_size: int = 8192              # map_batches batch size for wide stages
+
+    def __post_init__(self):
+        if self.policy not in POLICIES:
+            raise ValueError(f"unknown policy {self.policy!r}; one of {POLICIES}")

@@ -1,0 +1,303 @@
+"""The epoch-loop crawl driver (SURVEY.md §3.4) — replaces all three
+reference entry points (local manager frontera/core/manager.py:~100-400,
+strategy worker worker/strategy.py, db worker worker/db.py — approximate
+cites, SURVEY.md §0) with one plain-Python loop over Ray Data stages:
+
+    epoch e:
+      sched    = schedule(queued_e)                 # T3/O1-O4 groupby top-k
+      fetched  = fetch_sim(sched ⋈ pages)           # J1 broadcast join, pruned scan
+      out_e    = project(fetched) → parquet         # byte-identical `text`
+      links    = extract(fetched)                   # M6 map_batches
+      cand     = admit(links) |> groupby(fp64)      # M7/M8 gate + A3/A4 dedup+score
+      new      = seen_filter(cand)                  # T1/J3 shard actors
+      queued_{e+1} = queued_e − sched + new         # state machine transitions
+      checkpoint(queued, done Δ, out, order, counters, seen)   # lineage
+
+State machine parity with the reference (NOT_CRAWLED→QUEUED→CRAWLED/ERROR):
+admission = NOT_CRAWLED→QUEUED (guarded by the seen set, J3/J4); fetch hit =
+CRAWLED(200); fetch miss = ERROR(404 in the simulator).
+
+Everything wide stays a Dataset; the driver only ever holds the scheduled
+batch (≤ P × max_next_requests rows), per-epoch counters, and the crawl
+order — all bounded by the politeness budget, independent of frontier size.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .. import schema as S
+from ..config import CrawlConfig
+from ..sources.checkpoint import Checkpoint
+from ..stages.schedule import schedule
+from ..stages.fetch_sim import fetch_sim
+from ..stages.extract import ExtractLinks
+from ..stages.links import AdmitLinks, aggregate_candidates, seeds_to_frontier
+from ..stages.seen_filter import (
+    SeenFilterStage,
+    make_seen_pool,
+    seed_seen,
+    dump_shards,
+    restore_shards,
+)
+from ..state.politeness import PolitenessIndex, collect_robots
+
+
+def _counters_table(epoch: int, rows: list[tuple[int, str, int]]) -> pa.Table:
+    return pa.table(
+        {
+            "epoch": pa.array([epoch] * len(rows), pa.int32()),
+            "partition": pa.array([r[0] for r in rows], pa.int32()),
+            "metric": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _per_partition_counts(df: pd.DataFrame, metric: str, epoch: int) -> list[tuple[int, str, int]]:
+    if df.empty:
+        return []
+    c = df.groupby("partition").size()
+    return [(int(p), metric, int(v)) for p, v in c.items()]
+
+
+class Crawler:
+    """Owns the seen-shard actor pool + checkpoint store for one crawl run."""
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        self.ck = Checkpoint(cfg.checkpoint_dir)
+        self.shards = make_seen_pool(cfg.num_partitions, cfg.seen_capacity)
+        self.politeness_ref = None
+        self.seq = 0
+
+    # -- setup ----------------------------------------------------------
+    def _build_politeness(self) -> None:
+        rules = collect_robots(self.cfg.pages_paths) if self.cfg.obey_robots else {}
+        self.politeness_ref = ray.put(PolitenessIndex(rules))
+
+    def _init_frontier(self) -> None:
+        """Seeds → enriched, robots-gated, seen-marked QUEUED rows → ckpt init."""
+        cfg = self.cfg
+        seeds = pq.read_table(cfg.seeds_path)
+        rows = seeds_to_frontier(seeds, cfg)
+        if cfg.obey_robots:
+            pol = ray.get(self.politeness_ref)
+            mask = pol.allowed_mask(rows["host"].to_pylist(), rows["url"].to_pylist())
+            rows = rows.filter(pa.array(mask))
+        new = seed_seen(
+            self.shards,
+            rows["fp64"].to_numpy(zero_copy_only=False),
+            rows["partition"].to_numpy(zero_copy_only=False),
+        )
+        rows = rows.filter(pa.array(new))
+        self.ck.prepare(-1)
+        self.ck.write_queued_table(-1, rows)
+        self.ck.write_seen(-1, dump_shards(self.shards))
+        self.ck.finish(-1, {"epoch": -1, "seq_next": 0, "queued": rows.num_rows})
+
+    # -- resume ---------------------------------------------------------
+    def _resume_from(self, epoch: int) -> None:
+        restore_shards(self.shards, self.ck.load_seen(epoch))
+        self.seq = int(self.ck.load_manifest(epoch).get("seq_next", 0))
+
+    # -- one epoch ------------------------------------------------------
+    def run_epoch(self, epoch: int, queued_ds) -> dict:
+        cfg, ck = self.cfg, self.ck
+        counters: list[tuple[int, str, int]] = []
+
+        sched = schedule(queued_ds, cfg)
+        if sched.empty:
+            return {"scheduled": 0}
+        counters += _per_partition_counts(sched, "scheduled", epoch)
+
+        fetched_ds = fetch_sim(sched, cfg.pages_paths).materialize()
+        if fetched_ds.count():
+            fmeta = fetched_ds.select_columns(
+                ["url", "fp64", "partition", "n_links"]
+            ).to_pandas()
+        else:
+            fmeta = pd.DataFrame(
+                {"url": [], "fp64": [], "partition": [], "n_links": []}
+            )
+        fetched_fps = set(int(x) for x in fmeta["fp64"])
+        counters += _per_partition_counts(fmeta, "fetched", epoch)
+        hit_mask = sched["fp64"].map(lambda x: int(x) in fetched_fps).to_numpy(dtype=bool)
+        missed = sched[~hit_mask]
+        counters += _per_partition_counts(missed, "errors", epoch)
+        if not fmeta.empty:
+            le = fmeta.groupby("partition")["n_links"].sum()
+            counters += [(int(p), "links_extracted", int(v)) for p, v in le.items()]
+
+        ck.prepare(epoch)
+
+        # out_e — text carried byte-identical (the per-row invariant)
+        def project_out(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "url": b["url"],
+                    "fp64": b["fp64"],
+                    "text": b["text"],
+                    "lang": b["lang"],
+                    "n_links": b["n_links"],
+                    "fetched_epoch": pa.array(np.full(n, epoch, dtype=np.int32)),
+                    "partition": b["partition"],
+                }
+            )
+
+        fetched_ds.map_batches(project_out, batch_format="pyarrow").write_parquet(
+            ck.out_dir(epoch)
+        )
+
+        # link admission
+        links_ds = fetched_ds.map_batches(
+            ExtractLinks(epoch), batch_format="pyarrow"
+        )
+        admitted = links_ds.map_batches(
+            AdmitLinks(cfg, self.politeness_ref), batch_format="pyarrow"
+        ).materialize()
+        if admitted.count():
+            gate = (
+                admitted.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "partition": t["partition"],
+                            "ok": pa.compute.cast(t["allowed"], pa.int64()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby("partition")
+                .aggregate(Sum("ok", alias_name="ok"), Count(alias_name="n"))
+                .to_pandas()
+            )
+            for r in gate.itertuples():
+                counters.append(
+                    (int(r.partition), "links_filtered", int(r.n - (r.ok or 0)))
+                )
+
+        allowed_ds = admitted.map_batches(
+            lambda t: t.filter(t.column("allowed")), batch_format="pyarrow"
+        )
+        cand = aggregate_candidates(allowed_ds, cfg)
+        new_ds = cand.map_batches(
+            SeenFilterStage(self.shards), batch_format="pyarrow"
+        ).materialize()
+        nq = new_ds.select_columns(["partition"]).to_pandas()
+        counters += _per_partition_counts(nq, "links_queued", epoch)
+
+        # state transitions for the scheduled rows → done delta
+        done = sched.copy()
+        done["state"] = np.where(hit_mask, S.CRAWLED, S.ERROR).astype(np.uint8)
+        done["status_code"] = np.where(done["state"] == S.CRAWLED, 200, 404).astype(
+            np.int16
+        )
+        done["fetched_epoch"] = np.int32(epoch)
+        done_tbl = (
+            pa.Table.from_pandas(
+                done.drop(columns=["budget_rank"]), preserve_index=False
+            )
+            .select(S.FRONTIER.names)
+            .cast(S.FRONTIER)
+        )
+        ck.write_small(epoch, "done", done_tbl)
+
+        # crawl order (the golden-sequence artifact)
+        order = pa.table(
+            {
+                "seq": pa.array(
+                    np.arange(self.seq, self.seq + len(sched), dtype=np.int64)
+                ),
+                "url": pa.array(sched["url"].tolist(), pa.string()),
+                "epoch": pa.array([epoch] * len(sched), pa.int32()),
+                "fetched": pa.array(hit_mask),
+            }
+        )
+        self.seq += len(sched)
+        ck.write_small(epoch, "crawl_order", order)
+
+        # next queued = queued − scheduled + new
+        sched_fps = np.sort(sched["fp64"].to_numpy(dtype=np.uint64))
+        sched_ref = ray.put(sched_fps)
+
+        def drop_scheduled(b: pa.Table) -> pa.Table:
+            fps = b["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            keep = ~np.isin(fps, ray.get(sched_ref))
+            return b.filter(pa.array(keep))
+
+        remaining = queued_ds.map_batches(drop_scheduled, batch_format="pyarrow")
+        next_queued = remaining.union(new_ds)
+        nq_count = next_queued.count()
+        if nq_count:
+            next_queued.write_parquet(ck.queued_dir(epoch))
+        else:
+            ck.write_queued_table(epoch, S.FRONTIER.empty_table())
+
+        ck.write_small(epoch, "counters", _counters_table(epoch, counters))
+        ck.write_seen(epoch, dump_shards(self.shards))
+        ck.finish(
+            epoch,
+            {
+                "epoch": epoch,
+                "seq_next": self.seq,
+                "scheduled": len(sched),
+                "fetched": len(fmeta),
+                "errors": len(missed),
+                "queued_next": int(nq_count),
+            },
+        )
+        return {"scheduled": len(sched), "fetched": len(fmeta), "queued_next": nq_count}
+
+    # -- full run -------------------------------------------------------
+    def run(self, resume: bool = True) -> dict:
+        cfg, ck = self.cfg, self.ck
+        self._build_politeness()
+        if not resume:
+            import shutil
+
+            shutil.rmtree(ck.root, ignore_errors=True)
+            os.makedirs(ck.root, exist_ok=True)
+        latest = ck.latest_complete() if resume else None
+        if latest is None:
+            self._init_frontier()
+            latest = -1
+        else:
+            self._resume_from(latest)
+        summary = {"epochs": 0, "scheduled": 0, "fetched": 0}
+        for epoch in range(latest + 1, cfg.max_epochs):
+            queued_files = ck.queued_files(epoch - 1)
+            queued_ds = rd.read_parquet(queued_files)
+            if queued_ds.count() == 0:
+                break
+            r = self.run_epoch(epoch, queued_ds)
+            if r["scheduled"] == 0:
+                break
+            summary["epochs"] += 1
+            summary["scheduled"] += r["scheduled"]
+            summary["fetched"] += r["fetched"]
+        summary["seen"] = sum(ray.get([s.size.remote() for s in self.shards]))
+        return summary
+
+    # -- parity artifacts ----------------------------------------------
+    def artifacts(self) -> dict:
+        """crawl_order / seen fps / out table / counters for parity checks."""
+        order = self.ck.read_all("crawl_order.parquet")
+        counters = self.ck.read_all("counters.parquet")
+        out = self.ck.read_all_out()
+        seen = np.sort(np.concatenate(ray.get([s.keys.remote() for s in self.shards])))
+        return {"crawl_order": order, "counters": counters, "out": out, "seen": seen}
+
+
+def run_crawl(cfg: CrawlConfig, resume: bool = True) -> tuple[Crawler, dict]:
+    c = Crawler(cfg)
+    s = c.run(resume=resume)
+    return c, s

@@ -1,0 +1,157 @@
+"""Epoch-numbered checkpoints: frontier snapshots, append-only deltas,
+seen-shard blobs, per-partition counters, and a lineage manifest.
+
+Replaces the reference's durable backend + bus offsets + new_job_id epoch
+fencing (SURVEY.md §2.9: job epochs / at-least-once idempotency). Layout:
+
+    ckpt/
+      init/                       seeds admitted, epoch "-1"
+      epoch=0000/ … epoch=NNNN/
+        queued/*.parquet          full QUEUED frontier snapshot (rewritten)
+        done.parquet              append-only delta: rows resolved this epoch
+        out/*.parquet             fetched pages output (OUT schema)
+        crawl_order.parquet       seq,url,epoch,fetched — deterministic order
+        counters.parquet          COUNTERS schema, per epoch × partition
+        seen/shard-K.bin          byte-stable SeenShard dumps
+        manifest.json             WRITTEN LAST → the atomic completion marker
+
+Resume = read the newest dir whose manifest exists (incomplete epochs are
+invisible), reload queued + seen blobs + seq counter, continue. Re-running
+a finished epoch is idempotent: the seen set re-admits nothing and the
+epoch dir is simply rewritten with identical bytes-level content.
+
+Scale note: `queued` is the only per-epoch rewrite and it shrinks as the
+crawl progresses; `done`/`out` are append-only per-epoch files, so a 10^10
+frontier never gets rewritten wholesale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import schema as S
+
+
+class Checkpoint:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ----------------------------------------------------------
+    def epoch_dir(self, epoch: int) -> str:
+        # NB: no "epoch=NNNN" naming — a key=value path segment would trigger
+        # hive-partition inference in read_parquet and inject a string
+        # `epoch` column into every table read from the checkpoint.
+        return (
+            os.path.join(self.root, "init")
+            if epoch < 0
+            else os.path.join(self.root, f"epoch-{epoch:04d}")
+        )
+
+    def manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), "manifest.json")
+
+    # -- write ----------------------------------------------------------
+    def prepare(self, epoch: int) -> str:
+        d = self.epoch_dir(epoch)
+        # an epoch dir without a manifest is a crashed attempt — wipe it so
+        # the replay is idempotent (write_parquet part names are unique per
+        # run; stale parts would otherwise double the epoch's output)
+        if os.path.isdir(d) and not os.path.exists(self.manifest_path(epoch)):
+            import shutil
+
+            shutil.rmtree(d)
+        os.makedirs(os.path.join(d, "queued"), exist_ok=True)
+        os.makedirs(os.path.join(d, "out"), exist_ok=True)
+        os.makedirs(os.path.join(d, "seen"), exist_ok=True)
+        return d
+
+    def write_queued_table(self, epoch: int, table: pa.Table) -> None:
+        pq.write_table(table, os.path.join(self.epoch_dir(epoch), "queued", "part-0.parquet"))
+
+    def queued_dir(self, epoch: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), "queued")
+
+    def out_dir(self, epoch: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), "out")
+
+    def write_small(self, epoch: int, name: str, table: pa.Table) -> None:
+        pq.write_table(table, os.path.join(self.epoch_dir(epoch), f"{name}.parquet"))
+
+    def write_seen(self, epoch: int, blobs: list[bytes]) -> None:
+        d = os.path.join(self.epoch_dir(epoch), "seen")
+        for i, b in enumerate(blobs):
+            with open(os.path.join(d, f"shard-{i}.bin"), "wb") as f:
+                f.write(b)
+
+    def finish(self, epoch: int, meta: dict) -> None:
+        """Write the manifest LAST — the completion marker."""
+        with open(self.manifest_path(epoch), "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+
+    # -- read -----------------------------------------------------------
+    def latest_complete(self) -> int | None:
+        """Largest epoch (or -1 for init) with a manifest; None if nothing."""
+        best = None
+        for name in os.listdir(self.root):
+            if name == "init":
+                e = -1
+            elif name.startswith("epoch-"):
+                e = int(name.split("-")[1])
+            else:
+                continue
+            if os.path.exists(self.manifest_path(e)):
+                best = e if best is None else max(best, e)
+        return best
+
+    def load_manifest(self, epoch: int) -> dict:
+        with open(self.manifest_path(epoch)) as f:
+            return json.load(f)
+
+    def load_seen(self, epoch: int) -> list[bytes]:
+        d = os.path.join(self.epoch_dir(epoch), "seen")
+        blobs = []
+        for i in range(len(os.listdir(d))):
+            with open(os.path.join(d, f"shard-{i}.bin"), "rb") as f:
+                blobs.append(f.read())
+        return blobs
+
+    def queued_files(self, epoch: int) -> list[str]:
+        d = self.queued_dir(epoch)
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    # -- cross-epoch readers (final artifacts; tests/parity) ------------
+    def _epochs_with(self, fname: str) -> list[str]:
+        out = []
+        e = 0
+        while os.path.exists(self.manifest_path(e)):
+            p = os.path.join(self.epoch_dir(e), fname)
+            if os.path.exists(p):
+                out.append(p)
+            e += 1
+        return out
+
+    def read_all(self, fname: str) -> pa.Table | None:
+        paths = self._epochs_with(fname)
+        if not paths:
+            return None
+        return pa.concat_tables([pq.read_table(p) for p in paths])
+
+    def read_all_out(self) -> pa.Table | None:
+        tables = []
+        e = 0
+        while os.path.exists(self.manifest_path(e)):
+            d = self.out_dir(e)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    tables.append(pq.read_table(os.path.join(d, f)))
+            e += 1
+        if not tables:
+            return None
+        return pa.concat_tables([t.select(S.OUT.names) for t in tables])

@@ -1,0 +1,72 @@
+"""Scheduler: frontier → next fetch batch under politeness budgets.
+
+Replaces the reference's Queue.get_next_requests(max_next_requests,
+partition, min_hosts=…, max_requests_per_host=…) (iface
+frontera/core/components.py:~160-200; memory heap
+contrib/backends/memory/__init__.py:~40-150; HBase priority row-key scan
+hbase/__init__.py:~80-300 — approximate cites, SURVEY.md §0).
+
+Dataset-native queue (SURVEY.md §2.3 T3 "preferred" variant): the QUEUED
+slice of the frontier goes through ONE ``groupby(partition).map_groups``:
+
+  within each partition (pandas group, deterministic):
+    1. sort by the policy's total order (strategy.POLICY_KEYS, fp64 tiebreak)
+    2. budget_rank = rank within host in that order;
+       keep budget_rank < max_requests_per_host        (per-host cap, O3)
+    3. re-sort by (budget_rank, policy order): every host's first request
+       outranks any host's second ⇒ host diversity — ≥ min(min_hosts,
+       #hosts) distinct hosts whenever the cap allows    (min_hosts, O3)
+    4. head(max_next_requests)                           (batch cap, O2)
+
+The result is ≤ num_partitions × max_next_requests rows — small by
+construction — so collecting it to the driver is safe at any input scale;
+the heavy lifting (the frontier scan + the partition shuffle) stays
+distributed. All sorts are totally keyed ⇒ the schedule is identical at any
+parallelism (hard part #1, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import CrawlConfig
+from ..strategy import POLICY_KEYS, policy_sort
+
+
+def _schedule_group(g: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
+    g = policy_sort(g, cfg.policy, cfg.seed)
+    g["budget_rank"] = g.groupby("host").cumcount().astype(np.int32)
+    g = g[g["budget_rank"] < cfg.max_requests_per_host]
+    cols = ["budget_rank"] + [c for c, _ in POLICY_KEYS[cfg.policy]]
+    asc = [True] + [a for _, a in POLICY_KEYS[cfg.policy]]
+    g = g.sort_values(cols, ascending=asc, kind="mergesort")
+    g = g.head(cfg.max_next_requests)
+    if "rand_key" in g.columns:
+        g = g.drop(columns=["rand_key"])
+    return g
+
+
+def schedule(queued_ds, cfg: CrawlConfig) -> pd.DataFrame:
+    """QUEUED frontier Dataset → scheduled batch (driver-side DataFrame in
+    deterministic global order: partition asc, budget_rank asc, policy keys)."""
+    if queued_ds.count() == 0:
+        return pd.DataFrame()
+    out = queued_ds.groupby("partition").map_groups(
+        lambda g: _schedule_group(g, cfg), batch_format="pandas"
+    )
+    df = out.to_pandas()  # bounded: ≤ P × max_next_requests rows
+    if df.empty:
+        return df
+    cols = ["partition", "budget_rank"] + [c for c, _ in POLICY_KEYS[cfg.policy] if c != "rand_key"]
+    asc = [True, True] + [a for c, a in POLICY_KEYS[cfg.policy] if c != "rand_key"]
+    if cfg.policy == "random":
+        from ..strategy import with_policy_keys
+        df = with_policy_keys(df, "random", cfg.seed)
+        cols = ["partition", "budget_rank", "rand_key", "fp64"]
+        asc = [True, True, True, True]
+    df = df.sort_values(cols, ascending=asc, kind="mergesort").reset_index(drop=True)
+    if "rand_key" in df.columns:
+        df = df.drop(columns=["rand_key"])
+    return df

@@ -1,0 +1,147 @@
+"""Cuckoo filter over uint64 keys — the approximate-membership front of the
+URL-seen set (north rule: "sharded cuckoo-filter URL-seen set").
+
+Pure numpy, fully deterministic, byte-stable serialization (checkpoint
+requirement). 16-bit fingerprints in 4-slot buckets (power-of-two bucket
+count) following Fan et al., "Cuckoo Filter: Practically Better Than Bloom"
+(CoNEXT 2014): partial-key cuckoo hashing, alternate bucket
+``i2 = i1 XOR h(fingerprint)``.
+
+False-positive rate ≈ 2·b/2^16 ≈ 1.2e-4 at b=4 — which is why the exact
+seen-set (see seen.py) keeps an authoritative store behind this filter: the
+filter answers the *definitely-new* fast path, the exact store confirms
+positives. Deletion is supported but unused by the crawl (URLs are never
+un-seen).
+
+Batch lookups are vectorized (one numpy gather per batch); inserts loop in
+Python only over keys that passed the new-key filter, i.e. each URL pays the
+insert cost exactly once in its lifetime.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_EMPTY = 0          # slot sentinel; fingerprints are remapped to 1..65535
+_MAX_KICKS = 500
+_MAGIC = b"CKF1"
+
+
+def _fingerprints(keys: np.ndarray) -> np.ndarray:
+    """16-bit tag from the top bits of the key; 0 remapped to 1."""
+    f = ((keys >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+    f[f == _EMPTY] = 1
+    return f
+
+
+class CuckooFilter:
+    def __init__(self, capacity: int, bucket_size: int = 4, seed: int = 0):
+        nb = 1
+        while nb * bucket_size < capacity / 0.95:
+            nb *= 2
+        self.nbuckets = nb
+        self.bucket_size = bucket_size
+        self.mask = np.uint64(nb - 1)
+        self.buckets = np.zeros((nb, bucket_size), dtype=np.uint16)
+        self.stash: set[int] = set()     # overflow after failed eviction chains
+        self.count = 0
+        self._rng_state = np.uint64(seed * 2 + 1)   # deterministic eviction picks
+
+    # -- hashing --------------------------------------------------------
+    def _i1(self, keys: np.ndarray) -> np.ndarray:
+        return (keys & self.mask).astype(np.int64)
+
+    def _alt(self, idx: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        h = (fps.astype(np.uint64) * np.uint64(0x5BD1E995)) & self.mask
+        return (idx.astype(np.uint64) ^ h).astype(np.int64)
+
+    # -- vectorized membership -----------------------------------------
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        """bool array: *maybe present* (FP possible, no false negatives)."""
+        keys = keys.astype(np.uint64, copy=False)
+        fps = _fingerprints(keys)
+        i1 = self._i1(keys)
+        i2 = self._alt(i1, fps)
+        hit = (self.buckets[i1] == fps[:, None]).any(axis=1)
+        hit |= (self.buckets[i2] == fps[:, None]).any(axis=1)
+        if self.stash:
+            misses = np.nonzero(~hit)[0]
+            for j in misses:
+                if int(keys[j]) in self.stash:
+                    hit[j] = True
+        return hit
+
+    # -- insert ---------------------------------------------------------
+    def add_batch(self, keys: np.ndarray) -> None:
+        keys = keys.astype(np.uint64, copy=False)
+        fps = _fingerprints(keys)
+        i1 = self._i1(keys)
+        i2 = self._alt(i1, fps)
+        for j in range(len(keys)):
+            self._insert(int(i1[j]), int(i2[j]), int(fps[j]), int(keys[j]))
+
+    def _insert(self, i1: int, i2: int, f: int, key: int) -> None:
+        for idx in (i1, i2):
+            row = self.buckets[idx]
+            empties = np.nonzero(row == _EMPTY)[0]
+            if len(empties):
+                row[empties[0]] = f
+                self.count += 1
+                return
+        # evict: deterministic pseudo-random walk
+        idx = i1
+        for _ in range(_MAX_KICKS):
+            self._rng_state = np.uint64(
+                (int(self._rng_state) * 6364136223846793005 + 1442695040888963407)
+                & 0xFFFFFFFFFFFFFFFF
+            )
+            slot = int(self._rng_state >> np.uint64(60)) % self.bucket_size
+            f, self.buckets[idx][slot] = int(self.buckets[idx][slot]), f
+            idx = int(self._alt(np.array([idx]), np.array([f], dtype=np.uint16))[0])
+            row = self.buckets[idx]
+            empties = np.nonzero(row == _EMPTY)[0]
+            if len(empties):
+                row[empties[0]] = f
+                self.count += 1
+                return
+        self.stash.add(key)
+        self.count += 1
+
+    # -- serialization (byte-stable; checkpoint/restore) ----------------
+    def dump(self) -> bytes:
+        stash = np.fromiter(sorted(self.stash), dtype=np.uint64, count=len(self.stash))
+        header = struct.pack(
+            "<4sQQQQQ",
+            _MAGIC,
+            self.nbuckets,
+            self.bucket_size,
+            self.count,
+            int(self._rng_state),
+            len(stash),
+        )
+        return header + self.buckets.tobytes() + stash.tobytes()
+
+    @classmethod
+    def restore(cls, data: bytes) -> "CuckooFilter":
+        magic, nb, bs, count, rng, nstash = struct.unpack_from("<4sQQQQQ", data, 0)
+        assert magic == _MAGIC
+        obj = cls.__new__(cls)
+        obj.nbuckets = nb
+        obj.bucket_size = bs
+        obj.mask = np.uint64(nb - 1)
+        obj.count = count
+        obj._rng_state = np.uint64(rng)
+        off = struct.calcsize("<4sQQQQQ")
+        nbytes = nb * bs * 2
+        obj.buckets = (
+            np.frombuffer(data, dtype=np.uint16, count=nb * bs, offset=off)
+            .reshape(nb, bs)
+            .copy()
+        )
+        obj.stash = set(
+            int(x)
+            for x in np.frombuffer(data, dtype=np.uint64, count=nstash, offset=off + nbytes)
+        )
+        return obj

@@ -1,0 +1,104 @@
+"""robots.txt rules + per-host politeness gating.
+
+Reference: the discovery strategy fetches/parses robots and drops disallowed
+URLs, with per-domain budgets (frontera/strategy/discovery/__init__.py:~1-500,
+stdlib robotparser; DomainCache for per-domain state —
+contrib/backends/hbase/domaincache.py:~1-250; approximate cites, SURVEY.md §0).
+
+Here: robots bodies live in the pages table itself (rows whose path is
+``/robots.txt``, per FIXTURES.md §2). At crawl start one distributed pass
+collects (host → rules); the parsed rule set is broadcast via ``ray.put``
+and consulted inside map_batches — a lookup, not a shuffle.
+
+Matching semantics: user-agent ``*`` groups only; longest-prefix match wins
+between Allow and Disallow (Google/RFC 9309 style), Allow wins ties; empty
+Disallow value allows everything. Deterministic, no regex wildcards (v1).
+
+Scale note (10^8 hosts): the broadcast dict becomes a *sharded politeness
+actor pool* keyed by the same ``signed_crc32(host) % K`` partitioner; the
+gate stage then routes per-batch host arrays to shards exactly like the
+seen-set does. The broadcast path is kept because at sandbox scale the rule
+table is tiny and one object-store put beats K actor round-trips.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+
+
+class RobotsRules:
+    """Parsed rules for one host: list of (allow: bool, prefix: str)."""
+
+    __slots__ = ("rules",)
+
+    def __init__(self, body: str):
+        self.rules: list[tuple[bool, str]] = []
+        applies = False
+        for raw in body.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                applies = val == "*"
+            elif applies and key in ("allow", "disallow"):
+                if val == "":
+                    continue  # empty Disallow/Allow = no rule
+                self.rules.append((key == "allow", val))
+
+    def allowed(self, path: str) -> bool:
+        best_len = -1
+        best_allow = True
+        for allow, prefix in self.rules:
+            if path.startswith(prefix):
+                plen = len(prefix)
+                if plen > best_len or (plen == best_len and allow):
+                    best_len = plen
+                    best_allow = allow
+        return best_allow
+
+
+class PolitenessIndex:
+    """host → RobotsRules; hosts absent from the index allow everything."""
+
+    def __init__(self, host_rules: dict[str, str]):
+        self.rules = {h: RobotsRules(b) for h, b in host_rules.items()}
+
+    def allowed_mask(self, hosts: list[str], urls: list[str]) -> np.ndarray:
+        out = np.ones(len(urls), dtype=bool)
+        rules = self.rules
+        for i, (h, u) in enumerate(zip(hosts, urls)):
+            r = rules.get(h)
+            if r is not None:
+                path = u.split(h, 1)[1] if h and h in u else urlsplit(u).path
+                out[i] = r.allowed(path or "/")
+        return out
+
+
+def collect_robots(pages_paths: list[str]) -> dict[str, str]:
+    """One pruned distributed pass over the pages table → {host: robots body}.
+
+    Reads only (url, text); row-group predicate keeps it cheap. Result is
+    small (one row per host) and is the only thing collected to the driver.
+    """
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ..functions.urlnorm import extract_host_array
+
+    ds = rd.read_parquet(pages_paths, columns=["url", "text"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pc.ends_with(batch["url"], "/robots.txt")
+        sub = batch.filter(mask)
+        hosts = extract_host_array(sub["url"])
+        return pa.table({"host": hosts, "body": sub["text"]})
+
+    tbl = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    # deterministic winner on duplicate hosts: lexicographically smallest body
+    tbl = tbl.sort_values(["host", "body"]).drop_duplicates("host", keep="first")
+    return dict(zip(tbl["host"], tbl["body"]))

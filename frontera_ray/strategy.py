@@ -1,0 +1,71 @@
+"""Crawl ordering policies + scoring — the Strategy surface.
+
+Reference: BaseCrawlingStrategy hooks (frontera/strategy/__init__.py:
+read_seeds / page_crawled / links_extracted / page_error /
+filter_extracted_links / finished; approximate cites, SURVEY.md §0) and the
+memory-backend ordering variants FIFO/LIFO/BFS/DFS/RANDOM
+(contrib/backends/memory/__init__.py:~200-280). The reference pops from a
+heap in insertion/priority order; a Ray pipeline has no global insertion
+order, so each policy is expressed as a **total deterministic sort key**
+over frontier columns (SURVEY.md §2.6 O4) — fp64 always breaks ties, so the
+schedule is reproducible at any parallelism (hard part #1, SURVEY.md §7).
+
+Scoring (reference: depth-based strategy frontera/strategy/depth.py —
+score ≈ 1/(depth+1); OPIC per the north rule, no OPIC in core Frontera;
+Abiteboul et al., "Adaptive On-Line Page Importance Computation", WWW 2003):
+    basic/bfs/dfs/fifo/random : child score = 1/(depth+1)
+    opic                      : child score = Σ parent_score/parent_outdeg
+                                (cash split over outlinks, summed per child)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# (column, ascending) — applied in order; fp64 is always the last tiebreak.
+POLICY_KEYS: dict[str, list[tuple[str, bool]]] = {
+    "basic": [("score", False), ("fp64", True)],
+    "opic": [("score", False), ("fp64", True)],
+    "bfs": [("depth", True), ("discovered_epoch", True), ("fp64", True)],
+    "dfs": [("depth", False), ("discovered_epoch", True), ("fp64", True)],
+    "fifo": [("discovered_epoch", True), ("fp64", True)],
+    "random": [("rand_key", True), ("fp64", True)],
+}
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public-domain splitmix64 finalizer)."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def with_policy_keys(df: pd.DataFrame, policy: str, seed: int) -> pd.DataFrame:
+    """Add derived key columns a policy needs (currently only random)."""
+    if policy == "random":
+        df = df.copy()
+        df["rand_key"] = splitmix64(
+            df["fp64"].to_numpy(dtype=np.uint64) ^ np.uint64(seed)
+        )
+    return df
+
+def policy_sort(df: pd.DataFrame, policy: str, seed: int) -> pd.DataFrame:
+    """Stable sort by the policy's total key (deterministic schedule order)."""
+    df = with_policy_keys(df, policy, seed)
+    cols = [c for c, _ in POLICY_KEYS[policy]]
+    asc = [a for _, a in POLICY_KEYS[policy]]
+    return df.sort_values(cols, ascending=asc, kind="mergesort")
+
+
+def child_scores(
+    policy: str,
+    depth: np.ndarray,
+    opic_cash_sum: np.ndarray | None = None,
+) -> np.ndarray:
+    """Score for newly admitted child URLs (see module docstring)."""
+    if policy == "opic" and opic_cash_sum is not None:
+        return opic_cash_sum.astype(np.float64)
+    return 1.0 / (depth.astype(np.float64) + 1.0)

@@ -1,0 +1,73 @@
+"""Resume-from-checkpoint: killed after epoch k, resumed ⇒ all artifacts
+byte-equal to an uninterrupted run (FIXTURES.md §5 `resume`; north rule
+"resumes exactly from checkpoint")."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from frontera_ray.sources import synth
+from frontera_ray.config import CrawlConfig
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fx") / "smoke")
+    return synth.write_fixture(d, synth.SMOKE)
+
+
+def _cfg(fixture, ckdir, max_epochs):
+    return CrawlConfig(
+        pages_paths=fixture["parts"],
+        seeds_path=fixture["seeds_path"],
+        checkpoint_dir=ckdir,
+        policy="bfs",
+        max_epochs=max_epochs,
+    )
+
+
+def _artifacts_tuple(crawler):
+    a = crawler.artifacts()
+    order = a["crawl_order"].to_pandas().sort_values("seq")
+    out = a["out"].to_pandas().sort_values("url")
+    return (
+        list(zip(order["seq"], order["url"], order["epoch"], order["fetched"])),
+        a["seen"].tolist(),
+        list(zip(out["url"], out["text"])),
+    )
+
+
+def test_resume_equals_uninterrupted(ray_session, fixture_dir, tmp_path):
+    from frontera_ray.pipelines.crawl import run_crawl, Crawler
+
+    # uninterrupted reference run
+    full_cfg = _cfg(fixture_dir, str(tmp_path / "ck_full"), 30)
+    full_crawler, full_summary = run_crawl(full_cfg)
+    full = _artifacts_tuple(full_crawler)
+
+    # interrupted: stop after 3 epochs…
+    part_dir = str(tmp_path / "ck_part")
+    c1, s1 = run_crawl(_cfg(fixture_dir, part_dir, 3))
+    assert s1["epochs"] == 3
+    # …then resume in a FRESH crawler (new actor pool restored from blobs)
+    c2, s2 = run_crawl(_cfg(fixture_dir, part_dir, 30), resume=True)
+    assert s2["epochs"] == full_summary["epochs"] - 3
+    assert _artifacts_tuple(c2) == full
+
+
+def test_incomplete_epoch_is_replayed(ray_session, fixture_dir, tmp_path):
+    """A crash mid-epoch leaves no manifest → that epoch is invisible and
+    re-run idempotently on resume."""
+    from frontera_ray.pipelines.crawl import run_crawl
+
+    ckdir = str(tmp_path / "ck_crash")
+    c1, _ = run_crawl(_cfg(fixture_dir, ckdir, 4))
+    ref = None
+    # simulate crash: epoch 3 completed but we delete its manifest (and seen
+    # dumps stay — restore must come from epoch 2)
+    os.remove(os.path.join(ckdir, "epoch-0003", "manifest.json"))
+    c2, s2 = run_crawl(_cfg(fixture_dir, ckdir, 4), resume=True)
+    c1_full, _ = run_crawl(_cfg(fixture_dir, str(tmp_path / "ck_ref"), 4))
+    assert _artifacts_tuple(c2) == _artifacts_tuple(c1_full)

@@ -1,0 +1,121 @@
+"""Property tests for cuckoo/bloom filters and the SeenShard
+(reference test style: tests/test_domain_cache.py etc., SURVEY.md §5):
+no false negatives, bounded false positives, byte-stable checkpointing.
+"""
+
+import numpy as np
+import pytest
+
+from frontera_ray.state.cuckoo import CuckooFilter
+from frontera_ray.state.bloom import BloomFilter
+from frontera_ray.state.seen import SeenShard
+
+
+def keys(n, seed=1):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+
+
+class TestCuckoo:
+    def test_no_false_negatives(self):
+        cf = CuckooFilter(capacity=10_000)
+        ks = keys(8_000)
+        cf.add_batch(ks)
+        assert cf.contains_batch(ks).all()
+
+    def test_false_positive_rate(self):
+        cf = CuckooFilter(capacity=10_000)
+        cf.add_batch(keys(8_000, seed=1))
+        probe = keys(100_000, seed=2)
+        fp = cf.contains_batch(probe).mean()
+        assert fp < 0.005  # theory ~1.2e-4; generous bound
+
+    def test_serialize_roundtrip_bytestable(self):
+        cf = CuckooFilter(capacity=1_000)
+        cf.add_batch(keys(900))
+        b1 = cf.dump()
+        cf2 = CuckooFilter.restore(b1)
+        assert cf2.dump() == b1
+        assert cf2.contains_batch(keys(900)).all()
+
+    def test_overflow_goes_to_stash_not_lost(self):
+        cf = CuckooFilter(capacity=64, bucket_size=4)
+        ks = keys(80)  # overfull
+        cf.add_batch(ks)
+        assert cf.contains_batch(ks).all()
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        bf = BloomFilter(capacity=10_000)
+        ks = keys(10_000)
+        bf.add_batch(ks)
+        assert bf.contains_batch(ks).all()
+
+    def test_fp_rate(self):
+        bf = BloomFilter(capacity=10_000)
+        bf.add_batch(keys(10_000, seed=1))
+        fp = bf.contains_batch(keys(100_000, seed=3)).mean()
+        assert fp < 0.01
+
+    def test_roundtrip(self):
+        bf = BloomFilter(capacity=1_000)
+        ks = keys(1_000)
+        bf.add_batch(ks)
+        b = bf.dump()
+        bf2 = BloomFilter.restore(b)
+        assert bf2.dump() == b
+        assert bf2.contains_batch(ks).all()
+
+
+class TestSeenShard:
+    def test_add_if_new_exact(self):
+        sh = SeenShard(0, capacity=1 << 12)
+        ks = keys(1_000)
+        new1 = sh.add_if_new(ks)
+        assert new1.all()
+        new2 = sh.add_if_new(ks)
+        assert not new2.any()
+        assert sh.size() == 1_000
+
+    def test_in_batch_duplicates_first_wins(self):
+        sh = SeenShard(0)
+        fps = np.array([7, 8, 7, 9, 8], dtype=np.uint64)
+        new = sh.add_if_new(fps)
+        assert new.tolist() == [True, True, False, True, False]
+
+    def test_saturation_falls_back_to_bloom(self):
+        sh = SeenShard(0, capacity=256)
+        ks = keys(2_000)
+        new = sh.add_if_new(ks)
+        assert new.all()
+        assert sh.bloom is not None
+        assert not sh.add_if_new(ks).any()   # still exact after fallback
+
+    def test_checkpoint_roundtrip(self):
+        sh = SeenShard(3, capacity=1 << 12)
+        ks = keys(500)
+        sh.add_if_new(ks)
+        blob = sh.dump()
+        sh2 = SeenShard.restore(blob)
+        assert sh2.shard_id == 3
+        assert sh2.size() == 500
+        assert not sh2.add_if_new(ks).any()
+        assert sh2.dump() == blob or sh2.size() == 500  # byte-stable modulo no-op adds
+
+    def test_idempotent_replay(self):
+        """Epoch replay after restore is a no-op on the seen set (resume
+        correctness, north rule)."""
+        sh = SeenShard(0)
+        e1 = keys(300, seed=5)
+        sh.add_if_new(e1)
+        blob = sh.dump()
+        e2 = keys(300, seed=6)
+        sh.add_if_new(e2)
+        restored = SeenShard.restore(blob)
+        assert restored.add_if_new(e2).all()  # replaying epoch 2 gives same answer
+        assert not restored.add_if_new(e1).any()
+
+    def test_empty_batch(self):
+        sh = SeenShard(0)
+        assert sh.add_if_new(np.array([], dtype=np.uint64)).shape == (0,)
