@@ -1,0 +1,169 @@
+"""Similarity search over the embeddings table (task brief): brute-force
+cosine top-k as the exactness baseline, LSH-bucketed search as the scale
+path.
+
+Brute force = per-batch numpy matmul against a broadcast query matrix
+(ray.put once, read in every task) — the canonical "small side broadcast"
+join. LSH = random-hyperplane signatures (Charikar 2002) bucketing both
+sides; recall measured against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """First n_queries vectors by vec_id — the fixed, deterministic query set."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    q = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    return df["vec_id"].to_numpy(np.int64), qn
+
+
+class BruteForceTopK:
+    """map_batches stage: per batch, cosine of every row against every
+    query (one matmul); emits per-(query, row) scores above nothing — the
+    global top-k reduction happens in a tiny driver-side merge because
+    k × n_queries is small."""
+
+    def __init__(self, query_ref, k: int):
+        self.query_ref = query_ref
+        self.k = k
+        self._q = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._q is None:
+            self._q = ray.get(self.query_ref)
+        qids, qn = self._q
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = qn @ mn.T  # (n_queries, batch)
+        # local top-k per query inside the batch → tiny partial result
+        k = min(self.k, cos.shape[1])
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            for j in idx[qi]:
+                out_q.append(int(qids[qi]))
+                out_v.append(int(ids[j]))
+                out_c.append(float(cos[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
+def ann_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8):
+    """Exact top-k cosine neighbors (excluding self) for the query set.
+    Partial top-k per batch (distributed) + driver merge of ≤ k rows per
+    (query, batch). Ties broken by (cos desc, vec_id asc); cos rounded 6dp
+    for the oracle compare."""
+    qids, qn = _load_queries(sf_dir, n_queries)
+    query_ref = ray.put((qids, qn))
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    partial = ds.map_batches(
+        BruteForceTopK(query_ref, k + 1), batch_format="pyarrow"
+    ).to_pandas()
+    partial = partial[~(partial["query_id"] == partial["vec_id"])]
+    # rank on the UNROUNDED cosine (matches the SQL oracle's ORDER BY);
+    # round only the reported value
+    partial = partial.sort_values(
+        ["query_id", "cos", "vec_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    top = partial.groupby("query_id", sort=True).head(k).copy()
+    top["rk"] = top.groupby("query_id").cumcount().astype(np.int64) + 1
+    top["cos_e6"] = np.floor(top["cos"].to_numpy() * 1_000_000 + 0.5).astype(np.int64)
+    top = top.drop(columns=["cos"])
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+class LshIndexStage:
+    """Random-hyperplane LSH bucket assignment (deterministic planes from a
+    seeded generator, built once per actor — T6 pattern)."""
+
+    def __init__(self, dim: int = 64, n_bits: int = 8, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_bits, dim))
+
+    def signature(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+        sig = self.signature(m)
+        return t.append_column("bucket", pa.array(sig, pa.int64()))
+
+
+def ann_lsh(sf_dir: str, k: int = 10, n_queries: int = 8, n_bits: int = 4):
+    """LSH-bucketed approximate top-k: vectors and queries hash to buckets;
+    each query searches only its own bucket (+ all 1-bit-flip neighbor
+    buckets). Recall vs brute force is measured in tests, not assumed.
+
+    Scale path: bucket assignment is a map_batches; the per-bucket search
+    becomes groupby("bucket").map_groups with queries broadcast; at 10^10
+    vectors buckets are the partition key and no all-pairs ever happens."""
+    stage = LshIndexStage(n_bits=n_bits)
+    qids, qn = _load_queries(sf_dir, n_queries)
+    qsig = stage.signature(qn)
+    probe: dict[int, set] = {
+        int(qids[i]): {int(qsig[i])} | {int(qsig[i]) ^ (1 << b) for b in range(n_bits)}
+        for i in range(len(qids))
+    }
+    wanted_buckets = sorted(set().union(*probe.values()))
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(stage, batch_format="pyarrow")
+    want_ref = ray.put(np.array(wanted_buckets, dtype=np.int64))
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(b, ray.get(want_ref))))
+
+    cand = bucketed.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+                "rk": pa.array([], pa.int64()),
+            }
+        )
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in cand["embedding"]])
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ids = cand["vec_id"].to_numpy(np.int64)
+    buckets = cand["bucket"].to_numpy(np.int64)
+    rows = []
+    for i, qid in enumerate(qids):
+        mask = np.isin(buckets, list(probe[int(qid)])) & (ids != qid)
+        if not mask.any():
+            continue
+        cos = mn[mask] @ qn[i]
+        sub_ids = ids[mask]
+        order = np.lexsort((sub_ids, -cos))[:k]
+        for r, j in enumerate(order):
+            rows.append((int(qid), int(sub_ids[j]), round(float(cos[j]), 6), r + 1))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "cos": pa.array([r[2] for r in rows], pa.float64()),
+            "rk": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

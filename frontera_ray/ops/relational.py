@@ -1,0 +1,261 @@
+"""Relational operator pipelines over the driver testdata tables —
+the SQL-expressible slice of SURVEY.md §2 (groupby-agg A1/A2, top-k O1-O3,
+hash join J1, semi-join J3, distinct A4, windows §2.9), each with a DuckDB
+oracle in __ray_entry__.oracle_sql().
+
+Conventions that keep the driver's value-hash compare stable:
+* every aggregate / computed column has the SAME name as in the oracle SQL
+* float aggregates are exported as SCALED BIGINTs — floor(x*scale + 0.5),
+  identical formula in the SQL — because a float rounded to 2dp still
+  differs between engines in the last ulp and would break a value-hash
+* every result has a deterministic content, never a deterministic row order
+  requirement (the driver sorts before hashing)
+
+Scale notes are per function; inputs are read with column pruning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def scale_int(t: pa.Table, cols: dict[str, int]) -> pa.Table:
+    """Replace float columns by floor(x*scale + 0.5) BIGINTs (SQL mirror:
+    CAST(floor(x*scale + 0.5) AS BIGINT))."""
+    for col, s in cols.items():
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.floor(x * s + 0.5).astype(np.int64)
+        t = t.set_column(t.schema.get_field_index(col), col, pa.array(v, pa.int64()))
+    return t
+
+
+def groupby_agg(sf_dir: str):
+    """Per-event-type counters (A1 stats-counter pattern: one small shuffle
+    after Arrow-native partial aggregation inside Ray's groupby)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value_e4"),
+        Mean("value", alias_name="avg_value_e4"),
+    )
+    return out.map_batches(
+        lambda t: scale_int(t, {"sum_value_e4": 10_000, "avg_value_e4": 10_000}),
+        batch_format="pyarrow",
+    )
+
+
+def filter_topk(sf_dir: str):
+    """Global top-k (O1/O2): filter + sort + limit. The sort is distributed
+    (range-partitioned); only k rows reach the driver."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).drop_columns(
+            ["o_orderstatus"]
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+def hash_join_agg(sf_dir: str):
+    """orders ⋈ customer ⋈ nation → per-nation order stats (J1 broadcast
+    join: customer & nation are small dimension sides, loaded once and merged
+    per batch — no shuffle; the reference-scale analogue broadcasts via
+    ray.put and at 100 TB the big side streams through map_batches)."""
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ]
+    import ray
+
+    dim_ref = ray.put(dim)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        return batch.merge(d, left_on="o_custkey", right_on="c_custkey")[
+            ["n_name", "o_totalprice"]
+        ]
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(join, batch_format="pandas")
+    out = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total_cents")
+    )
+    return out.map_batches(
+        lambda t: scale_int(t, {"sum_total_cents": 100}), batch_format="pyarrow"
+    )
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary (vectorized Arrow compute kernels,
+    column-pruned read with row filtering)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1997-09-01", "us"))))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "revenue": rev,
+                "l_discount": t["l_discount"],
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price_cents"),
+        Sum("revenue", alias_name="sum_disc_price_e4"),
+        Mean("l_discount", alias_name="avg_disc_e6"),
+        Count(alias_name="count_order"),
+    )
+    return out.map_batches(
+        lambda t: scale_int(
+            t,
+            {
+                "sum_qty": 1,
+                "sum_base_price_cents": 100,
+                "sum_disc_price_e4": 10_000,
+                "avg_disc_e6": 1_000_000,
+            },
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def distinct_pairs(sf_dir: str):
+    """DISTINCT (A4) over two columns — expressed as a groupby with no
+    aggregates (one shuffle on the pair key)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n")).drop_columns(["n"])
+
+
+def window_tumbling(sf_dir: str):
+    """Tumbling 1-hour window per user (SURVEY.md §2.9 streaming semantics →
+    groupby(key, window_bucket) — event-time bucketing is a vectorized
+    column computation, the shuffle is on the (user, window) pair)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ws = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"user_id": t["user_id"], "window_start": ws, "value": t["value"]})
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow")
+    out = ds.groupby(["user_id", "window_start"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value_e4")
+    )
+    return out.map_batches(
+        lambda t: scale_int(t, {"sum_value_e4": 10_000}), batch_format="pyarrow"
+    )
+
+
+def topk_per_key(sf_dir: str):
+    """Per-key top-k (O1/O3 scheduler kernel shape): groupby(event_type) →
+    rank within group by (value desc, event_id asc), keep k=3."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "event_id", "value"]
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True], kind="mergesort")
+        g = g.head(3).copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("event_type").map_groups(topk, batch_format="pandas")
+
+
+def semi_join(sf_dir: str):
+    """Semi-join (J3): events whose user is a high-balance customer.
+    Small side → broadcast key set, filter inside map_batches (no shuffle)."""
+    import ray
+
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
+    keys = np.sort(cust.loc[cust["c_acctbal"] > 5000, "c_custkey"].to_numpy())
+    keys_ref = ray.put(keys)
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(uid, ray.get(keys_ref))))
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value_e4")
+    )
+    return out.map_batches(
+        lambda t: scale_int(t, {"sum_value_e4": 10_000}), batch_format="pyarrow"
+    )
+
+
+def schedule_topk(sf_dir: str):
+    """The crawl scheduler kernel, oracle-checked in SQL: treat documents as
+    a frontier (host=source, score=n_chars, id=doc_id); per-host budget rank
+    < 2 by (score desc, id asc); global order (rank, score desc, id) LIMIT
+    100 — exactly stages/schedule.py semantics on one partition."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort")
+        g = g.copy()
+        g["budget_rank"] = np.arange(len(g), dtype=np.int64)
+        return g[g["budget_rank"] < 2]
+
+    ranked = ds.groupby("source").map_groups(rank, batch_format="pandas")
+    df = ranked.to_pandas()  # bounded: ≤ 2 rows per host
+    df = df.sort_values(
+        ["budget_rank", "n_chars", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    ).head(100)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def url_fingerprint(sf_dir: str):
+    """M1+M2 canonicalize+fingerprint kernel, oracle-checked via DuckDB md5:
+    synthesize a URL per document, canonicalize, md5 it (the engine's sha1
+    path is golden-tested in pytest; md5 is what the oracle can compute)."""
+    import hashlib
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        doc_id = t["doc_id"].to_pylist()
+        src = t["source"].to_pylist()
+        urls = [f"http://{s}.test/doc/{d}" for s, d in zip(src, doc_id)]
+        md5s = [hashlib.md5(u.encode()).hexdigest() for u in urls]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": pa.array(urls, pa.string()),
+                "fp_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")

@@ -1,0 +1,158 @@
+"""Text-analysis operators over the documents table (task brief: language
+ID, quality scoring, token counting, document fingerprinting) — all
+vectorized map_batches stages; the SQL-expressible ones carry DuckDB
+oracles in __ray_entry__.
+
+Token semantics contract with the oracle: tokens = split on single space
+(' '), matching DuckDB string_split(text, ' ') — the fixture text is
+single-spaced.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+_STOPWORDS = ("the", "a", "to", "of", "and")
+
+# tiny deterministic per-language stopword profiles for the n-gram/stopword
+# heuristic language ID (no external models in this sandbox)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is"},
+    "de": {"der", "die", "das", "und", "ist", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "une"},
+}
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def token_stats(sf_dir: str):
+    """Per-language token counters (A1 pattern): tokenize vectorized, ONE
+    small groupby over partial counts."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang", "n_chars"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        n_tokens = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    ds = ds.map_batches(tok, batch_format="pyarrow")
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Mean("n_chars", alias_name="avg_chars_e4"),
+    )
+    from .relational import scale_int
+
+    return out.map_batches(
+        lambda t: scale_int(t, {"avg_chars_e4": 10_000}), batch_format="pyarrow"
+    )
+
+
+def quality_scores(sf_dir: str):
+    """Per-document quality features: token count, mean token length,
+    stopword ratio — the length/stopword heuristics of C4/Gopher-style
+    cleaning (public recipes), fully vectorized in Arrow + numpy."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+        n_chars = pc.utf8_length(t["text"])
+        stop_counts = []
+        for lst in toks.to_pylist():
+            lst = lst or []
+            stop_counts.append(sum(1 for w in lst if w in _STOPWORDS))
+        n_tok_np = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+        # scaled-int export (floor(x*1e6 + 0.5)) — see relational.scale_int
+        stop_ratio = np.floor(
+            np.array(stop_counts, dtype=np.float64)
+            / np.maximum(n_tok_np, 1.0)
+            * 1_000_000
+            + 0.5
+        ).astype(np.int64)
+        avg_tok_len = np.floor(
+            (n_chars.to_numpy(zero_copy_only=False) - (n_tok_np - 1))
+            / np.maximum(n_tok_np, 1.0)
+            * 1_000_000
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n_tokens,
+                "stop_ratio_e6": pa.array(stop_ratio, pa.int64()),
+                "avg_tok_len_e6": pa.array(avg_tok_len, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+class LangIdStage:
+    """Actor-pool language ID (T6 stateful-stage pattern: marker sets built
+    once per actor in __init__; batches scored vectorized-ish)."""
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = []
+        for text in t["text"].to_pylist():
+            words = set(text.lower().split()[:200])
+            best, best_n = "unk", 0
+            for lang, marks in sorted(self.markers.items()):
+                n = len(words & marks)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+
+
+def lang_id(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+
+
+def doc_fingerprints(sf_dir: str, window: int = 4, keep_mod: int = 8):
+    """Winnowing-style document fingerprints (Schleimer et al., SIGMOD 2003
+    flavor, simplified): rolling hash over token windows, keep hashes ≡ 0
+    (mod keep_mod) → per-doc fingerprint count + min fingerprint (hex)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        n_out, min_out = [], []
+        for text in t["text"].to_pylist():
+            toks = text.split()
+            hs = [
+                int.from_bytes(
+                    hashlib.md5(" ".join(toks[i : i + window]).encode()).digest()[:8],
+                    "big",
+                )
+                for i in range(max(0, len(toks) - window + 1))
+            ]
+            sel = [h for h in hs if h % keep_mod == 0]
+            n_out.append(len(sel))
+            min_out.append(f"{min(sel):016x}" if sel else "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_fingerprints": pa.array(n_out, pa.int64()),
+                "min_fingerprint": pa.array(min_out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
