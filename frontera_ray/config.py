@@ -27,6 +27,13 @@ class CrawlConfig:
     seed: int = 42
     seen_capacity: int = 1 << 20        # per-shard cuckoo capacity
     obey_robots: bool = True
+    # pages table stores already-canonical URLs (true for production layouts
+    # where the store is keyed by the frontier's canonical URL): lets the
+    # fetch simulator push its URL filter into the parquet scan so
+    # non-scheduled rows never enter the object store. Leave False when the
+    # table may contain dirty URL variants that only match after
+    # canonicalization (the conformance fixtures exercise that path).
+    assume_canonical_pages: bool = False
     allowed_schemes: tuple = ("http", "https")
     max_depth: int | None = None        # optional depth cutoff
     batch_size: int = 8192              # map_batches batch size for wide stages

@@ -79,78 +79,94 @@ def _minhash_sig(sh: np.ndarray) -> np.ndarray:
 
 
 class MinHashStage:
-    """Actor-pool map_batches stage: text → 64-perm signature + LSH band
-    keys. Stateful-setup pattern (T6): nothing heavy here, but the class
-    form keeps the per-actor setup slot for a real tokenizer."""
+    """Actor-pool map_batches stage: text → 64-perm signature, ONE row per
+    doc. Stateful-setup pattern (T6): nothing heavy here, but the class
+    form keeps the per-actor setup slot for a real tokenizer. Shingling +
+    hashing is the CPU-dominant part of MinHash dedup and stays fully
+    distributed."""
 
     def __init__(self, k: int = 5):
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids = t["doc_id"].to_pylist()
-        rows_doc, rows_band, rows_key, sigs = [], [], [], {}
-        for d, text in zip(doc_ids, t["text"].to_pylist()):
-            sig = _minhash_sig(_shingle_hashes(text, self.k))
-            sigs[d] = sig
-            for b in range(_BANDS):
-                band = sig[b * _ROWS : (b + 1) * _ROWS]
-                key = int.from_bytes(
-                    hashlib.md5(band.tobytes() + bytes([b])).digest()[:8], "big"
-                )
-                rows_doc.append(d)
-                rows_band.append(b)
-                rows_key.append(key)
+        sigs = [
+            _minhash_sig(_shingle_hashes(text, self.k)).tobytes()
+            for text in t["text"].to_pylist()
+        ]
         return pa.table(
-            {
-                "doc_id": pa.array(rows_doc, pa.int64()),
-                "band": pa.array(rows_band, pa.int32()),
-                "key": pa.array(rows_key, pa.uint64()),
-                "sig": pa.array(
-                    [sigs[d].tobytes() for d in rows_doc], pa.binary()
-                ),
-            }
+            {"doc_id": t["doc_id"], "sig": pa.array(sigs, pa.binary())}
         )
+
+
+def minhash_signatures(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(MinHashStage(), batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
-    """MinHash+LSH near-dup pairs: shingle→minhash→band rows →
-    groupby(band, key) buckets → candidate pairs → verify with the FULL
-    signature (estimated Jaccard) ≥ threshold.
+    """MinHash+LSH near-dup pairs: distributed shingle→minhash signatures
+    (the CPU-heavy stage), then banding over the COMPACT signature table
+    (n_docs × 520 B — 5 GB even at 10M docs): band keys vectorized, bucket
+    self-merge, candidate pairs verified with full-signature estimated
+    Jaccard ≥ threshold.
 
-    Scale: the shuffle carries (band, key, doc_id, 64×8B sig); buckets are
-    tiny under any honest hash, and a pathological hot bucket is bounded by
-    bucket-size capping (we cap at 64 docs/bucket and log the drop)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    bands = ds.map_batches(MinHashStage(), batch_format="pyarrow")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").head(64)
-        ids = g["doc_id"].to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-        a_out, b_out, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                sim = float((sigs[i] == sigs[j]).mean())
-                if sim >= threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    est.append(sim)
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": est})
-
-    pairs = bands.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
-    if pairs.count() == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
-            }
-        )
-    # same pair can surface from several bands → exact dedup on the pair key
-    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard")
+    Scale path (10^10 docs, documented per SURVEY.md §2.7): the banding
+    step becomes explode-to-(band,key) rows → groupby((band,key)) →
+    per-bucket pair emission — the same computation with the exchange done
+    by Ray's hash shuffle instead of a driver merge; signatures stay the
+    only payload either way."""
+    sig_df = minhash_signatures(sf_dir).to_pandas()
+    n = len(sig_df)
+    if n == 0:
+        return _empty_pairs("est_jaccard")
+    sigs = np.frombuffer(b"".join(sig_df["sig"]), dtype=np.uint64).reshape(
+        n, _NUM_PERM
     )
-    return out
+    ids = sig_df["doc_id"].to_numpy(np.int64)
+    # band keys: md5 of each band's 4×8 bytes (vectorized-ish: one pass)
+    from collections import defaultdict
+
+    buckets: dict[tuple[int, bytes], list[int]] = defaultdict(list)
+    for b in range(_BANDS):
+        band = np.ascontiguousarray(sigs[:, b * _ROWS : (b + 1) * _ROWS])
+        raw = band.tobytes()
+        w = _ROWS * 8
+        for i in range(n):
+            buckets[(b, raw[i * w : (i + 1) * w])].append(i)
+    cand = set()
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > 256:
+            continue  # singleton or capped hot bucket
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                cand.add((members[x], members[y]))
+    rows = []
+    for i, j in cand:
+        est = float((sigs[i] == sigs[j]).mean())
+        if est >= threshold:
+            a, b_ = int(ids[i]), int(ids[j])
+            if a > b_:
+                a, b_ = b_, a
+            rows.append((a, b_, est))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "est_jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _empty_pairs(score_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            score_col: pa.array([], pa.float64()),
+        }
+    )
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3):

@@ -40,9 +40,8 @@ from ..sources.checkpoint import Checkpoint
 from ..stages.schedule import schedule
 from ..stages.fetch_sim import fetch_sim
 from ..stages.extract import ExtractLinks
-from ..stages.links import AdmitLinks, aggregate_candidates, seeds_to_frontier
+from ..stages.links import AdmitOfferStage, seeds_to_frontier
 from ..stages.seen_filter import (
-    SeenFilterStage,
     make_seen_pool,
     seed_seen,
     dump_shards,
@@ -111,15 +110,25 @@ class Crawler:
 
     # -- one epoch ------------------------------------------------------
     def run_epoch(self, epoch: int, queued_ds) -> dict:
+        import time
+
         cfg, ck = self.cfg, self.ck
         counters: list[tuple[int, str, int]] = []
+        stage_sec: dict[str, float] = {}
+        _t = time.perf_counter
 
+        t0 = _t()
         sched = schedule(queued_ds, cfg)
+        stage_sec["schedule"] = round(_t() - t0, 3)
         if sched.empty:
             return {"scheduled": 0}
         counters += _per_partition_counts(sched, "scheduled", epoch)
 
-        fetched_ds = fetch_sim(sched, cfg.pages_paths).materialize()
+        t0 = _t()
+        fetched_ds = fetch_sim(
+            sched, cfg.pages_paths, cfg.assume_canonical_pages
+        ).materialize()
+        stage_sec["fetch"] = round(_t() - t0, 3)
         if fetched_ds.count():
             fmeta = fetched_ds.select_columns(
                 ["url", "fp64", "partition", "n_links"]
@@ -128,9 +137,11 @@ class Crawler:
             fmeta = pd.DataFrame(
                 {"url": [], "fp64": [], "partition": [], "n_links": []}
             )
-        fetched_fps = set(int(x) for x in fmeta["fp64"])
         counters += _per_partition_counts(fmeta, "fetched", epoch)
-        hit_mask = sched["fp64"].map(lambda x: int(x) in fetched_fps).to_numpy(dtype=bool)
+        hit_mask = np.isin(
+            sched["fp64"].to_numpy(dtype=np.uint64),
+            fmeta["fp64"].to_numpy(dtype=np.uint64),
+        )
         missed = sched[~hit_mask]
         counters += _per_partition_counts(missed, "errors", epoch)
         if not fmeta.empty:
@@ -154,46 +165,55 @@ class Crawler:
                 }
             )
 
+        t0 = _t()
         fetched_ds.map_batches(project_out, batch_format="pyarrow").write_parquet(
             ck.out_dir(epoch)
         )
+        stage_sec["write_out"] = round(_t() - t0, 3)
 
-        # link admission
-        links_ds = fetched_ds.map_batches(
-            ExtractLinks(epoch), batch_format="pyarrow"
+        # link admission: ONE fused execution — extract → gate → offer,
+        # emitting per-batch gate-counter partials (A1 pattern; a
+        # driver-side sum over tiny rows, NOT an all-to-all). Dedup +
+        # seen-check happen shard-side via the offer/resolve protocol
+        # (order-independent winner aggregation ⇒ deterministic).
+        t0 = _t()
+        ray.get(
+            [
+                s.begin_epoch.remote(epoch, cfg.policy, cfg.num_partitions)
+                for s in self.shards
+            ]
         )
-        admitted = links_ds.map_batches(
-            AdmitLinks(cfg, self.politeness_ref), batch_format="pyarrow"
-        ).materialize()
-        if admitted.count():
-            gate = (
-                admitted.map_batches(
-                    lambda t: pa.table(
-                        {
-                            "partition": t["partition"],
-                            "ok": pa.compute.cast(t["allowed"], pa.int64()),
-                        }
-                    ),
-                    batch_format="pyarrow",
-                )
-                .groupby("partition")
-                .aggregate(Sum("ok", alias_name="ok"), Count(alias_name="n"))
-                .to_pandas()
+        gate_df = (
+            fetched_ds.map_batches(ExtractLinks(epoch), batch_format="pyarrow")
+            .map_batches(
+                AdmitOfferStage(cfg, self.politeness_ref, self.shards),
+                batch_format="pyarrow",
             )
-            for r in gate.itertuples():
-                counters.append(
-                    (int(r.partition), "links_filtered", int(r.n - (r.ok or 0)))
-                )
-
-        allowed_ds = admitted.map_batches(
-            lambda t: t.filter(t.column("allowed")), batch_format="pyarrow"
+            .to_pandas()
         )
-        cand = aggregate_candidates(allowed_ds, cfg)
-        new_ds = cand.map_batches(
-            SeenFilterStage(self.shards), batch_format="pyarrow"
-        ).materialize()
-        nq = new_ds.select_columns(["partition"]).to_pandas()
-        counters += _per_partition_counts(nq, "links_queued", epoch)
+        stage_sec["extract_admit_offer"] = round(_t() - t0, 3)
+        if not gate_df.empty:
+            gate = gate_df.groupby("partition").sum()
+            for p, r in gate.iterrows():
+                counters.append((int(p), "links_filtered", int(r["n"] - r["ok"])))
+
+        t0 = _t()
+        qdir = ck.queued_dir(epoch)
+        seen_dir = os.path.join(ck.epoch_dir(epoch), "seen")
+        resolves = ray.get(
+            [
+                s.resolve.remote(
+                    os.path.join(qdir, f"new-shard-{k}.parquet"),
+                    os.path.join(seen_dir, f"shard-{k}.bin"),
+                )
+                for k, s in enumerate(self.shards)
+            ]
+        )
+        stage_sec["dedup_seen"] = round(_t() - t0, 3)
+        new_count = sum(r["count"] for r in resolves)
+        for r in resolves:
+            for p, c in r["per_partition"].items():
+                counters.append((int(p), "links_queued", int(c)))
 
         # state transitions for the scheduled rows → done delta
         done = sched.copy()
@@ -217,7 +237,7 @@ class Crawler:
                 "seq": pa.array(
                     np.arange(self.seq, self.seq + len(sched), dtype=np.int64)
                 ),
-                "url": pa.array(sched["url"].tolist(), pa.string()),
+                "url": pa.array(sched["url"].to_numpy(), pa.string()),
                 "epoch": pa.array([epoch] * len(sched), pa.int32()),
                 "fetched": pa.array(hit_mask),
             }
@@ -234,16 +254,22 @@ class Crawler:
             keep = ~np.isin(fps, ray.get(sched_ref))
             return b.filter(pa.array(keep))
 
-        remaining = queued_ds.map_batches(drop_scheduled, batch_format="pyarrow")
-        next_queued = remaining.union(new_ds)
-        nq_count = next_queued.count()
-        if nq_count:
-            next_queued.write_parquet(ck.queued_dir(epoch))
-        else:
+        t0 = _t()
+        # materialize once — count() + write_parquet on a lazy chain would
+        # execute the whole filter pipeline twice
+        remaining = queued_ds.map_batches(
+            drop_scheduled, batch_format="pyarrow"
+        ).materialize()
+        rem_count = remaining.count()
+        if rem_count:
+            remaining.write_parquet(qdir)
+        nq_count = rem_count + new_count
+        if nq_count == 0:
             ck.write_queued_table(epoch, S.FRONTIER.empty_table())
+        stage_sec["frontier_update"] = round(_t() - t0, 3)
 
         ck.write_small(epoch, "counters", _counters_table(epoch, counters))
-        ck.write_seen(epoch, dump_shards(self.shards))
+        # seen blobs were written shard-side during resolve()
         ck.finish(
             epoch,
             {
@@ -253,9 +279,15 @@ class Crawler:
                 "fetched": len(fmeta),
                 "errors": len(missed),
                 "queued_next": int(nq_count),
+                "stage_sec": stage_sec,
             },
         )
-        return {"scheduled": len(sched), "fetched": len(fmeta), "queued_next": nq_count}
+        return {
+            "scheduled": len(sched),
+            "fetched": len(fmeta),
+            "queued_next": nq_count,
+            "stage_sec": stage_sec,
+        }
 
     # -- full run -------------------------------------------------------
     def run(self, resume: bool = True) -> dict:
@@ -274,10 +306,12 @@ class Crawler:
             self._resume_from(latest)
         summary = {"epochs": 0, "scheduled": 0, "fetched": 0}
         for epoch in range(latest + 1, cfg.max_epochs):
-            queued_files = ck.queued_files(epoch - 1)
-            queued_ds = rd.read_parquet(queued_files)
-            if queued_ds.count() == 0:
+            # queued size comes from the previous manifest — no extra
+            # execution of the read pipeline just to count
+            prev = ck.load_manifest(epoch - 1)
+            if prev.get("queued_next", prev.get("queued", 0)) == 0:
                 break
+            queued_ds = rd.read_parquet(ck.queued_files(epoch - 1))
             r = self.run_epoch(epoch, queued_ds)
             if r["scheduled"] == 0:
                 break

@@ -71,10 +71,12 @@ def page_ts(url: str) -> int:
     return EPOCH_2026 + (fp64(url) % 86400) * 1_000_000
 
 
-def outlinks(s: int, i: int, S_hosts: int, pages_on_host: int) -> list[str]:
+def outlinks(
+    s: int, i: int, S_hosts: int, pages_on_host: int, fanout: int = 2
+) -> list[str]:
     """Raw hrefs embedded in p{i}'s html, in anchor order."""
     links = []
-    for c in (2 * i + 1, 2 * i + 2):
+    for c in range(fanout * i + 1, fanout * i + fanout + 1):
         if c < pages_on_host:
             links.append(f"/p{c}")
     links.append(f"http://site{(s + i) % S_hosts}.test/p0")
@@ -83,12 +85,19 @@ def outlinks(s: int, i: int, S_hosts: int, pages_on_host: int) -> list[str]:
     return links
 
 
-def page_html(s: int, i: int, S_hosts: int, pages_on_host: int) -> bytes:
+def page_html(
+    s: int, i: int, S_hosts: int, pages_on_host: int, fanout: int = 2, pad: int = 0
+) -> bytes:
     anchors = "".join(
-        f'<a href="{h}">l</a>' for h in outlinks(s, i, S_hosts, pages_on_host)
+        f'<a href="{h}">l</a>'
+        for h in outlinks(s, i, S_hosts, pages_on_host, fanout)
     )
     txt = page_text(page_url(s, i))
-    return f"<html><body>{txt}{anchors}</body></html>".encode()
+    filler = ""
+    if pad:
+        base = " ".join(_LOREM)
+        filler = "<p>" + (base * (pad // len(base) + 1))[:pad] + "</p>"
+    return f"<html><body>{txt}{filler}{anchors}</body></html>".encode()
 
 
 def robots_body(s: int) -> str:
@@ -107,6 +116,10 @@ class FixtureSpec:
     zipf_alpha: float = 1.2
     dirty_variants: bool = True
     num_partitions: int = 4
+    seed_hosts: int | None = None   # None → FIXTURES.md {0,1,2,4}; N → first N hosts
+    seed_pages: int = 1             # seeds per host (bench ramps faster with >1)
+    fanout: int = 2                 # same-host children per page (tree arity)
+    html_pad: int = 0               # extra deterministic filler bytes per html
 
     def host_sizes(self) -> np.ndarray:
         if self.total_pages is None:
@@ -118,8 +131,9 @@ class FixtureSpec:
 
 SMOKE = FixtureSpec(num_hosts=5, pages_per_host=20)
 CONFORMANCE = FixtureSpec(num_hosts=50, pages_per_host=40)
-BENCH = FixtureSpec(num_hosts=2000, pages_per_host=0, total_pages=500_000,
-                    dirty_variants=False, num_partitions=32)
+BENCH = FixtureSpec(num_hosts=2000, pages_per_host=0, total_pages=1_000_000,
+                    dirty_variants=False, num_partitions=32, seed_hosts=2000,
+                    seed_pages=64, fanout=3, html_pad=256)
 
 
 def build_pages(spec: FixtureSpec) -> pa.Table:
@@ -133,7 +147,9 @@ def build_pages(spec: FixtureSpec) -> pa.Table:
         for i in range(n):
             u = page_url(s, i)
             urls.append(u)
-            htmls.append(page_html(s, i, spec.num_hosts, n))
+            htmls.append(
+                page_html(s, i, spec.num_hosts, n, spec.fanout, spec.html_pad)
+            )
             texts.append(page_text(u))
         # robots row
         u = robots_url(s)
@@ -177,12 +193,23 @@ def build_pages(spec: FixtureSpec) -> pa.Table:
 def build_seeds(spec: FixtureSpec) -> pa.Table:
     """Seed list: site{s}/p0 for s in {0,1,2,4} (∩ existing hosts),
     score = 1.0 − s/10. site4 is robots-blocked (must be filtered);
-    site3 is reachable only via cross-host links."""
-    ss = [s for s in (0, 1, 2, 4) if s < spec.num_hosts]
+    site3 is reachable only via cross-host links. Bench specs seed every
+    host (spec.seed_hosts) so the crawl ramps immediately."""
+    sizes = spec.host_sizes()
+    if spec.seed_hosts is not None:
+        urls, scores = [], []
+        for s in range(min(spec.seed_hosts, spec.num_hosts)):
+            for i in range(min(spec.seed_pages, int(sizes[s]))):
+                urls.append(page_url(s, i))
+                scores.append(1.0 - (s % 10) / 20 - i / 100)
+    else:
+        ss = [s for s in (0, 1, 2, 4) if s < spec.num_hosts]
+        urls = [page_url(s, 0) for s in ss]
+        scores = [1.0 - s / 10 for s in ss]
     return pa.table(
         {
-            "url": pa.array([page_url(s, 0) for s in ss], pa.string()),
-            "score": pa.array([1.0 - s / 10 for s in ss], pa.float64()),
+            "url": pa.array(urls, pa.string()),
+            "score": pa.array(scores, pa.float64()),
         }
     )
 
@@ -216,7 +243,9 @@ def write_fixture(out_dir: str, spec: FixtureSpec, overwrite: bool = False) -> d
     for p in range(spec.num_partitions):
         sub = tbl.filter(pa.array(parts_col == p))
         path = os.path.join(pages_dir, f"part-{p:05d}.parquet")
-        pq.write_table(sub, path)
+        # small row groups: hot-host partitions (zipf skew) stay splittable
+        # into balanced read tasks instead of one straggler block
+        pq.write_table(sub, path, row_group_size=16384)
         paths.append(path)
     pq.write_table(build_seeds(spec), seeds_path)
     with open(marker, "w") as f:

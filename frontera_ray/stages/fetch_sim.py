@@ -102,14 +102,17 @@ def _fetched_schema_table() -> pa.Table:
     ).empty_table()
 
 
-def _dedup_first(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values("raw_url", kind="mergesort")
-    return g.head(1)
-
-
-def fetch_sim(scheduled: pd.DataFrame, pages_paths: list[str]):
+def fetch_sim(
+    scheduled: pd.DataFrame, pages_paths: list[str], assume_canonical: bool = False
+):
     """scheduled (driver df with url/fp64/score/depth/partition/host) →
-    fetched Dataset (see _FetchFilter output schema, minus raw_url)."""
+    fetched MATERIALIZED Dataset (see _FetchFilter output schema, minus
+    raw_url). Bounded by the politeness budget, so materializing is safe.
+
+    Dirty-variant collisions (two raw page rows canonicalizing to one url)
+    are resolved without a shuffle: the (url, raw_url) projection is tiny
+    (≤ budget rows), so the winner per url (min raw_url) is computed on the
+    driver and applied as a broadcast filter."""
     n_parts = len(pages_paths)
     # prune: only pages parts whose host-partition appears in the batch
     hh = crc32_batch(scheduled["host"].tolist())
@@ -120,8 +123,33 @@ def fetch_sim(scheduled: pd.DataFrame, pages_paths: list[str]):
         for r in scheduled.itertuples()
     }
     sched_ref = ray.put(smap)
-    ds = rd.read_parquet(paths)
-    ds = ds.map_batches(_FetchFilter(sched_ref), batch_format="pyarrow")
-    # dirty-variant collisions → deterministic winner per canonical url
-    ds = ds.groupby("url").map_groups(_dedup_first, batch_format="pandas")
+    if assume_canonical:
+        # predicate pushdown: the scan emits ONLY scheduled rows — html of
+        # the other 95%+ never enters the object store, and the remaining
+        # decode work parallelizes across part files
+        expr = pc.field("url").isin(list(smap.keys()))
+        ds = rd.read_parquet(paths, filter=expr)
+    else:
+        ds = rd.read_parquet(paths)
+    ds = ds.map_batches(_FetchFilter(sched_ref), batch_format="pyarrow").materialize()
+    if ds.count() == 0:
+        return rd.from_arrow(_fetched_schema_table().drop_columns(["raw_url"]))
+    pairs = ds.select_columns(["url", "raw_url"]).to_pandas()
+    if pairs["url"].duplicated().any():
+        winners = set(
+            pairs.sort_values(["url", "raw_url"], kind="mergesort")
+            .drop_duplicates("url", keep="first")["raw_url"]
+        )
+        win_ref = ray.put(winners)
+
+        def keep_winner(t: pa.Table) -> pa.Table:
+            w = ray.get(win_ref)
+            mask = np.fromiter(
+                (r in w for r in t["raw_url"].to_pylist()),
+                dtype=bool,
+                count=t.num_rows,
+            )
+            return t.filter(pa.array(mask))
+
+        ds = ds.map_batches(keep_winner, batch_format="pyarrow")
     return ds.drop_columns(["raw_url"])

@@ -64,45 +64,183 @@ class AdmitLinks:
         return batch.append_column("allowed", pa.array(ok))
 
 
-def _winner(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["depth", "parent_fp64", "url"], kind="mergesort")
-    row = g.head(1).copy()
-    row["opic_cash"] = (g["parent_score"] / g["parent_outdeg"].clip(lower=1)).sum()
-    return row
+class AdmitOfferStage:
+    """Fused gate + offer (ONE Dataset execution per epoch): applies
+    AdmitLinks (scheme/depth/robots gate + enrichment), offers the allowed
+    rows to the seen shards, and returns per-batch gate-counter partials
+    (partition, ok, n) — the A1 partial-aggregation pattern. Fusing stages
+    matters at scale: every separate materialize/execute is a pipeline
+    barrier whose fixed latency is serial time under Amdahl."""
 
+    def __init__(self, cfg: CrawlConfig, politeness_ref, shard_handles: list):
+        self.admit = AdmitLinks(cfg, politeness_ref)
+        self.offer = OfferStage(shard_handles)
 
-def aggregate_candidates(admitted_ds, cfg: CrawlConfig):
-    """groupby(fp64) dedup + score → FRONTIER-shaped QUEUED rows Dataset."""
-    dedup = admitted_ds.groupby("fp64").map_groups(_winner, batch_format="pandas")
-
-    policy = cfg.policy
-
-    def finish(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        depth = batch["depth"].to_numpy(zero_copy_only=False)
-        if policy == "opic":
-            score = batch["opic_cash"].to_numpy(zero_copy_only=False).astype(np.float64)
-        else:
-            score = 1.0 / (depth.astype(np.float64) + 1.0)
+    def __call__(self, t: pa.Table) -> pa.Table:
+        gated = self.admit(t)
+        if gated.num_rows == 0:
+            return pa.table(
+                {
+                    "partition": pa.array([], pa.int32()),
+                    "ok": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        allowed = gated.filter(gated.column("allowed"))
+        self.offer(allowed)
+        parts = gated["partition"].to_numpy(zero_copy_only=False)
+        ok = gated["allowed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"partition": parts, "ok": ok})
+        g = df.groupby("partition").agg(ok=("ok", "sum"), n=("ok", "size"))
         return pa.table(
             {
-                "url": batch["url"],
-                "fp64": batch["fp64"],
-                "fp_hex": batch["fp_hex"],
-                "host": batch["host"],
-                "host_hash": batch["host_hash"],
-                "partition": batch["partition"],
-                "state": pa.array(np.full(n, S.QUEUED, dtype=np.uint8)),
-                "score": pa.array(score, pa.float64()),
-                "depth": batch["depth"],
-                "discovered_epoch": batch["discovered_epoch"],
-                "fetched_epoch": pa.array(np.full(n, -1, dtype=np.int32)),
-                "status_code": pa.array(np.full(n, -1, dtype=np.int16)),
-                "parent_fp64": batch["parent_fp64"],
+                "partition": pa.array(g.index.to_numpy(), pa.int32()),
+                "ok": pa.array(g["ok"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
             }
         )
 
-    return dedup.map_batches(finish, batch_format="pyarrow")
+
+class OfferStage:
+    """map_batches callable: route gated link rows to their seen shard via
+    the offer protocol (see state/seen.py). Pre-aggregates per batch with a
+    vectorized pandas groupby (min winner_key, sum cash) so each actor call
+    carries one row per distinct child in the batch. Returns per-batch
+    counts only — the data path to the frontier is shard-side."""
+
+    def __init__(self, shard_handles: list):
+        self.shards = shard_handles
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray
+
+        if t.num_rows == 0:
+            return pa.table({"offered": pa.array([], pa.int64())})
+        depth = t["depth"].to_pylist()
+        parent = t["parent_fp64"].to_pylist()
+        urls = t["url"].to_pylist()
+        keys = [f"{d:06d}|{p:016x}|{u}" for d, p, u in zip(depth, parent, urls)]
+        cash = (
+            t["parent_score"].to_numpy(zero_copy_only=False)
+            / np.maximum(t["parent_outdeg"].to_numpy(zero_copy_only=False), 1)
+        )
+        df = pd.DataFrame(
+            {
+                "fp64": t["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                "partition": t["partition"].to_numpy(zero_copy_only=False),
+                "key": keys,
+                "cash": cash,
+            }
+        )
+        agg = df.groupby("fp64", sort=False).agg(
+            key=("key", "min"), cash=("cash", "sum"), partition=("partition", "first")
+        )
+        shard_of = agg["partition"].to_numpy() % len(self.shards)
+        futs = []
+        for s in np.unique(shard_of):
+            sub = agg[shard_of == s]
+            futs.append(
+                self.shards[int(s)].offer.remote(
+                    sub.index.to_numpy(dtype=np.uint64),
+                    sub["key"].tolist(),
+                    sub["cash"].to_numpy(),
+                )
+            )
+        total = int(sum(ray.get(futs)))
+        return pa.table({"offered": pa.array([total], pa.int64())})
+
+
+def aggregate_candidates(admitted_ds, cfg: CrawlConfig):
+    """groupby(fp64) dedup + score → FRONTIER-shaped QUEUED rows Dataset.
+
+    Vectorized winner selection: NOT per-group map_groups (which pays one
+    Python call per child URL — millions per epoch at scale) but a single
+    hash-aggregate with an order-encoding winner key:
+        winner_key = f"{depth:06d}|{parent_fp64:016x}|{url}"
+    Min(winner_key) ≡ min (depth, parent_fp64, url) because each field is
+    fixed-width (url last, variable). OPIC cash is a plain Sum. The winner
+    row's remaining columns are re-derived from the decoded url — cheap,
+    deterministic, and only over the already-deduped rows."""
+    policy = cfg.policy
+    epoch_col = "discovered_epoch"
+
+    def prep(t: pa.Table) -> pa.Table:
+        depth = t["depth"].to_pylist()
+        parent = t["parent_fp64"].to_pylist()
+        urls = t["url"].to_pylist()
+        keys = [
+            f"{d:06d}|{p:016x}|{u}" for d, p, u in zip(depth, parent, urls)
+        ]
+        cash = (
+            t["parent_score"].to_numpy(zero_copy_only=False)
+            / np.maximum(t["parent_outdeg"].to_numpy(zero_copy_only=False), 1)
+        )
+        # group on an int64 VIEW of fp64: Ray's shuffle handles uint64 group
+        # keys via a slow pickled-object fallback; the bit-identical int64
+        # reinterpretation keeps grouping exact and Arrow-native
+        key = (
+            t["fp64"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "fpkey": pa.array(key, pa.int64()),
+                "winner_key": pa.array(keys, pa.string()),
+                "cash": pa.array(cash, pa.float64()),
+                epoch_col: t[epoch_col],
+            }
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    agg = (
+        admitted_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("fpkey")
+        .aggregate(
+            Min("winner_key", alias_name="winner_key"),
+            Sum("cash", alias_name="opic_cash"),
+            Min(epoch_col, alias_name=epoch_col),
+        )
+    )
+
+    num_partitions = cfg.num_partitions
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        depths = np.empty(n, dtype=np.int32)
+        parents = np.empty(n, dtype=np.uint64)
+        urls: list[str] = [""] * n
+        for i, k in enumerate(batch["winner_key"].to_pylist()):
+            d, p, u = k.split("|", 2)
+            depths[i] = int(d)
+            parents[i] = int(p, 16)
+            urls[i] = u
+        t = enrich_urls(pa.table({"url": pa.array(urls, pa.string())}), num_partitions)
+        if policy == "opic":
+            score = batch["opic_cash"].to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            score = 1.0 / (depths.astype(np.float64) + 1.0)
+        return pa.table(
+            {
+                "url": t["url"],
+                "fp64": t["fp64"],
+                "fp_hex": t["fp_hex"],
+                "host": t["host"],
+                "host_hash": t["host_hash"],
+                "partition": t["partition"],
+                "state": pa.array(np.full(n, S.QUEUED, dtype=np.uint8)),
+                "score": pa.array(score, pa.float64()),
+                "depth": pa.array(depths, pa.int32()),
+                "discovered_epoch": pa.compute.cast(batch[epoch_col], pa.int32()),
+                "fetched_epoch": pa.array(np.full(n, -1, dtype=np.int32)),
+                "status_code": pa.array(np.full(n, -1, dtype=np.int16)),
+                "parent_fp64": pa.array(parents, pa.uint64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
 
 
 def seeds_to_frontier(seeds: pa.Table, cfg: CrawlConfig) -> pa.Table:

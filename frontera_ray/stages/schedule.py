@@ -50,9 +50,9 @@ def _schedule_group(g: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
 
 def schedule(queued_ds, cfg: CrawlConfig) -> pd.DataFrame:
     """QUEUED frontier Dataset → scheduled batch (driver-side DataFrame in
-    deterministic global order: partition asc, budget_rank asc, policy keys)."""
-    if queued_ds.count() == 0:
-        return pd.DataFrame()
+    deterministic global order: partition asc, budget_rank asc, policy keys).
+    Callers guarantee the dataset is non-empty (queued counts travel in the
+    checkpoint manifest — no extra execution here just to count)."""
     out = queued_ds.groupby("partition").map_groups(
         lambda g: _schedule_group(g, cfg), batch_format="pandas"
     )

@@ -94,6 +94,114 @@ class SeenShard:
                 self.bloom.add_batch(arr)
         return new
 
+    # -- epoch-synchronous candidate resolution (offer/resolve protocol) --
+    #
+    # Replaces a per-epoch groupby(fp64) shuffle: admission candidates are
+    # routed to their owning shard (same partitioner as everything else),
+    # the shard accumulates winner_key-min + OPIC-cash-sum per unseen fp
+    # (order-independent ⇒ deterministic under any parallelism), and
+    # resolve() admits winners, writes the shard's QUEUED-delta parquet
+    # itself (per-partition layout, nothing returns to the driver but
+    # counts), and marks the fps seen. Mirrors the reference's strategy
+    # worker owning the state cache (frontera/worker/strategy.py, approx
+    # cite — SURVEY.md §0).
+
+    def begin_epoch(self, epoch: int, policy: str, num_partitions: int) -> None:
+        self.pending: dict[int, tuple[str, float]] = {}
+        self._epoch = epoch
+        self._policy = policy
+        self._np = num_partitions
+
+    def offer(self, fps: np.ndarray, keys: list[str], cash: np.ndarray) -> int:
+        """Accumulate candidate edges for unseen fps; returns #accepted."""
+        pending = self.pending
+        exact = self.exact
+        n = 0
+        for i in range(len(fps)):
+            fp = int(fps[i])
+            if fp in exact:
+                continue
+            n += 1
+            cur = pending.get(fp)
+            if cur is None:
+                pending[fp] = (keys[i], float(cash[i]))
+            else:
+                k = keys[i] if keys[i] < cur[0] else cur[0]
+                pending[fp] = (k, cur[1] + float(cash[i]))
+        return n
+
+    def resolve(self, out_path: str, seen_path: str | None = None) -> dict:
+        """Admit pending winners: decode → enrich → score → write parquet
+        delta at out_path (omitted if empty). Also checkpoints this shard's
+        seen blob to seen_path (shard-side, parallel across the pool — the
+        driver never serializes filter state). Returns per-partition counts."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..stages.enrich import enrich_urls
+        from .. import schema as S
+
+        pending = self.pending
+        if not pending:
+            if seen_path is not None:
+                with open(seen_path, "wb") as f:
+                    f.write(self.dump())
+            return {"count": 0, "per_partition": {}, "path": None}
+        fps = np.fromiter(pending.keys(), dtype=np.uint64, count=len(pending))
+        order = np.argsort(fps, kind="stable")
+        fps = fps[order]
+        items = [pending[int(f)] for f in fps]
+        n = len(items)
+        depths = np.empty(n, dtype=np.int32)
+        parents = np.empty(n, dtype=np.uint64)
+        urls: list[str] = [""] * n
+        cash = np.empty(n, dtype=np.float64)
+        for i, (k, c) in enumerate(items):
+            d, p, u = k.split("|", 2)
+            depths[i] = int(d)
+            parents[i] = int(p, 16)
+            urls[i] = u
+            cash[i] = c
+        t = enrich_urls(pa.table({"url": pa.array(urls, pa.string())}), self._np)
+        if self._policy == "opic":
+            score = cash
+        else:
+            score = 1.0 / (depths.astype(np.float64) + 1.0)
+        tbl = pa.table(
+            {
+                "url": t["url"],
+                "fp64": t["fp64"],
+                "fp_hex": t["fp_hex"],
+                "host": t["host"],
+                "host_hash": t["host_hash"],
+                "partition": t["partition"],
+                "state": pa.array(np.full(n, S.QUEUED, dtype=np.uint8)),
+                "score": pa.array(score, pa.float64()),
+                "depth": pa.array(depths, pa.int32()),
+                "discovered_epoch": pa.array(
+                    np.full(n, self._epoch, dtype=np.int32)
+                ),
+                "fetched_epoch": pa.array(np.full(n, -1, dtype=np.int32)),
+                "status_code": pa.array(np.full(n, -1, dtype=np.int16)),
+                "parent_fp64": pa.array(parents, pa.uint64()),
+            }
+        ).cast(S.FRONTIER)
+        pq.write_table(tbl, out_path)
+        # mark seen
+        self.add_if_new(fps)
+        if seen_path is not None:
+            with open(seen_path, "wb") as f:
+                f.write(self.dump())
+        parts, counts = np.unique(
+            t["partition"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        self.pending = {}
+        return {
+            "count": n,
+            "per_partition": {int(p): int(c) for p, c in zip(parts, counts)},
+            "path": out_path,
+        }
+
     def contains(self, fps: np.ndarray) -> np.ndarray:
         fps = np.asarray(fps, dtype=np.uint64)
         return np.fromiter(
