@@ -57,7 +57,7 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from frontera_ray.ops import ann, dedup, multimodal, relational, text
+    from frontera_ray.ops import ann, dedup, multimodal, relational, sketches, text
 
     def crawl_order(sf_dir: str):
         return _crawl_artifacts(sf_dir).artifacts()["crawl_order"]
@@ -101,6 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
+        # sketches + sampling
+        "hll_distinct_users": sketches.hll_distinct_users,
+        "hash_sample": sketches.hash_sample,
+        "regex_token_stats": sketches.regex_token_stats,
         # multimodal plumbing (stub decode, real actor/batch/schema path)
         "media_features": multimodal.media_features,
         # crawl pipeline artifacts (non-SQL: stateful actors + epochs)
@@ -176,9 +180,19 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
         ),
+        "hash_sample": (
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT "
+            "% 100 < 5"
+        ),
+        "regex_token_stats": (
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^\\sa-zA-Z0-9_]'))) "
+            "AS BIGINT) AS sum_regex_tokens FROM documents GROUP BY lang"
+        ),
         "token_stats": (
             "SELECT lang, count(*) AS n_docs, "
-            "sum(len(string_split(text, ' '))) AS sum_tokens, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, "
             "CAST(floor(avg(n_chars)*10000 + 0.5) AS BIGINT) AS avg_chars_e4 "
             "FROM documents GROUP BY lang"
         ),

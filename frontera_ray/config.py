@@ -36,6 +36,10 @@ class CrawlConfig:
     assume_canonical_pages: bool = False
     allowed_schemes: tuple = ("http", "https")
     max_depth: int | None = None        # optional depth cutoff
+    # revisit scheduler (reference: sqlalchemy revisiting backend,
+    # contrib/backends/sqlalchemy/revisiting.py:~1-120 approx — re-queue
+    # CRAWLED urls after an interval; epochs are our clock)
+    revisit_after_epochs: int | None = None
     batch_size: int = 8192              # map_batches batch size for wide stages
 
     def __post_init__(self):

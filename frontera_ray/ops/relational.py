@@ -164,16 +164,27 @@ def window_tumbling(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        ws = pc.floor_temporal(t["ts"], unit="hour")
+        # cast back to us: floor_temporal narrows the unit, and the oracle
+        # (DuckDB date_trunc) stays timestamp[us]
+        ws = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us"))
         return pa.table({"user_id": t["user_id"], "window_start": ws, "value": t["value"]})
 
     ds = ds.map_batches(bucket, batch_format="pyarrow")
     out = ds.groupby(["user_id", "window_start"]).aggregate(
         Count(alias_name="n"), Sum("value", alias_name="sum_value_e4")
     )
-    return out.map_batches(
-        lambda t: scale_int(t, {"sum_value_e4": 10_000}), batch_format="pyarrow"
-    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's aggregate narrows the key to timestamp[s]; restore [us] to
+        # match the oracle's date_trunc output type
+        t = t.set_column(
+            t.schema.get_field_index("window_start"),
+            "window_start",
+            pc.cast(t["window_start"], pa.timestamp("us")),
+        )
+        return scale_int(t, {"sum_value_e4": 10_000})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def topk_per_key(sf_dir: str):

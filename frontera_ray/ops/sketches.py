@@ -1,0 +1,165 @@
+"""Mergeable sketches (SURVEY.md §2.5 A5) + deterministic sampling (§2.6 O5).
+
+HyperLogLog: Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm" (AofA 2007), dense 2^p registers, the
+standard bias-corrected estimator. Sketches are built per batch inside
+map_batches (one numpy pass) and merged associatively — the canonical
+"emit one serialized sketch per batch, merge in a tiny second stage"
+pattern for aggregation at scale.
+
+Sampling: hash-based Bernoulli sampling (keep iff md5(key) mod M < k) —
+deterministic, partition-independent, and SQL-expressible, unlike
+ds.random_sample whose result depends on block structure.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..strategy import splitmix64
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_batch(self, keys: np.ndarray) -> None:
+        h = splitmix64(keys.astype(np.uint64))
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of `rest` + 1  (capped by 64-p+1 via the OR)
+        lz = np.zeros(len(rest), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        vals = rest.copy()
+        done = np.zeros(len(rest), dtype=bool)
+        for r in range(64 - self.p + 1):
+            hit = ~done & ((vals & mask) != 0)
+            lz[hit] = r + 1
+            done |= hit
+            vals = vals << np.uint64(1)
+        np.maximum.at(self.registers, idx, lz)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting small-range fix
+        return float(est)
+
+    def dump(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def restore(cls, b: bytes) -> "HyperLogLog":
+        obj = cls(b[0])
+        obj.registers = np.frombuffer(b, dtype=np.uint8, offset=1).copy()
+        return obj
+
+
+def hll_distinct_users(sf_dir: str, p: int = 12):
+    """Approximate distinct user_id count per event_type: one HLL sketch per
+    (batch × type) emitted as bytes, merged in a small driver pass (sketch
+    count = #batches × #types — tiny)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        types, blobs = [], []
+        for et, g in df.groupby("event_type"):
+            h = HyperLogLog(p)
+            h.add_batch(g["user_id"].to_numpy(dtype=np.uint64))
+            types.append(et)
+            blobs.append(h.dump())
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "sketch": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    merged: dict[str, HyperLogLog] = {}
+    for r in parts.itertuples():
+        h = HyperLogLog.restore(r.sketch)
+        if r.event_type in merged:
+            merged[r.event_type].merge(h)
+        else:
+            merged[r.event_type] = h
+    types = sorted(merged)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "approx_users": pa.array(
+                [int(round(merged[t].estimate())) for t in types], pa.int64()
+            ),
+        }
+    )
+
+
+def hash_sample(sf_dir: str, pct: int = 5):
+    """Deterministic pct% sample of events: keep iff the first 8 md5 hex
+    chars of event_id, mod 100, < pct. SQL mirror uses the same formula."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pylist()
+        mask = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < pct
+                for i in ids
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def regex_token_stats(sf_dir: str):
+    """BPE-ish regex tokenization (words | single non-space punctuation):
+    per-language token totals; DuckDB oracle uses regexp_extract_all with
+    the same RE2-compatible pattern."""
+    import re
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text", "lang"])
+    pat = re.compile(r"[a-zA-Z0-9_]+|[^\sa-zA-Z0-9_]")
+
+    def tok(t: pa.Table) -> pa.Table:
+        counts = [len(pat.findall(x)) for x in t["text"].to_pylist()]
+        return pa.table(
+            {"lang": t["lang"], "n_tok": pa.array(counts, pa.int64())}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(tok, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_regex_tokens"))
+    )

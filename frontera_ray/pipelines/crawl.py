@@ -71,11 +71,14 @@ def _per_partition_counts(df: pd.DataFrame, metric: str, epoch: int) -> list[tup
 class Crawler:
     """Owns the seen-shard actor pool + checkpoint store for one crawl run."""
 
-    def __init__(self, cfg: CrawlConfig):
+    def __init__(self, cfg: CrawlConfig, strategy=None):
+        from ..strategy import CrawlStrategy
+
         self.cfg = cfg
         self.ck = Checkpoint(cfg.checkpoint_dir)
         self.shards = make_seen_pool(cfg.num_partitions, cfg.seen_capacity)
         self.politeness_ref = None
+        self.strategy = strategy if strategy is not None else CrawlStrategy()
         self.seq = 0
 
     # -- setup ----------------------------------------------------------
@@ -85,9 +88,11 @@ class Crawler:
 
     def _init_frontier(self) -> None:
         """Seeds → enriched, robots-gated, seen-marked QUEUED rows → ckpt init."""
+        from ..sources.readers import read_seed_table
+
         cfg = self.cfg
-        seeds = pq.read_table(cfg.seeds_path)
-        rows = seeds_to_frontier(seeds, cfg)
+        seeds = read_seed_table(cfg.seeds_path)
+        rows = self.strategy.read_seeds(seeds, cfg)
         if cfg.obey_robots:
             pol = ray.get(self.politeness_ref)
             mask = pol.allowed_mask(rows["host"].to_pylist(), rows["url"].to_pylist())
@@ -108,8 +113,35 @@ class Crawler:
         restore_shards(self.shards, self.ck.load_seen(epoch))
         self.seq = int(self.ck.load_manifest(epoch).get("seq_next", 0))
 
+    # -- revisit scheduler (T5) -----------------------------------------
+    def _revisit_due(self, epoch: int) -> pa.Table | None:
+        """CRAWLED rows from epoch − revisit_after_epochs, re-queued once
+        per cycle (each refetch writes a new done row with a new
+        fetched_epoch, so the NEXT cycle triggers off that row — periodic
+        revisiting with no duplicate enqueues)."""
+        cfg, ck = self.cfg, self.ck
+        if cfg.revisit_after_epochs is None:
+            return None
+        src = epoch - cfg.revisit_after_epochs
+        path = os.path.join(ck.epoch_dir(src), "done.parquet")
+        if src < 0 or not os.path.exists(path):
+            return None
+        done_prev = pq.read_table(path)
+        rev = done_prev.filter(
+            pa.compute.equal(done_prev["state"], pa.scalar(S.CRAWLED, pa.uint8()))
+        )
+        if rev.num_rows == 0:
+            return None
+        n = rev.num_rows
+        rev = rev.set_column(
+            rev.schema.get_field_index("state"),
+            "state",
+            pa.array(np.full(n, S.QUEUED, dtype=np.uint8)),
+        )
+        return rev
+
     # -- one epoch ------------------------------------------------------
-    def run_epoch(self, epoch: int, queued_ds) -> dict:
+    def run_epoch(self, epoch: int, queued_ds, revisited: int = 0) -> dict:
         import time
 
         cfg, ck = self.cfg, self.ck
@@ -123,6 +155,8 @@ class Crawler:
         if sched.empty:
             return {"scheduled": 0}
         counters += _per_partition_counts(sched, "scheduled", epoch)
+        if revisited:
+            counters.append((-1, "revisited", int(revisited)))
 
         t0 = _t()
         fetched_ds = fetch_sim(
@@ -144,6 +178,9 @@ class Crawler:
         )
         missed = sched[~hit_mask]
         counters += _per_partition_counts(missed, "errors", epoch)
+        self.strategy.page_crawled(fmeta)
+        if len(missed):
+            self.strategy.page_error(missed)
         if not fmeta.empty:
             le = fmeta.groupby("partition")["n_links"].sum()
             counters += [(int(p), "links_extracted", int(v)) for p, v in le.items()]
@@ -186,7 +223,9 @@ class Crawler:
         gate_df = (
             fetched_ds.map_batches(ExtractLinks(epoch), batch_format="pyarrow")
             .map_batches(
-                AdmitOfferStage(cfg, self.politeness_ref, self.shards),
+                AdmitOfferStage(
+                    cfg, self.politeness_ref, self.shards, self.strategy
+                ),
                 batch_format="pyarrow",
             )
             .to_pandas()
@@ -309,16 +348,21 @@ class Crawler:
             # queued size comes from the previous manifest — no extra
             # execution of the read pipeline just to count
             prev = ck.load_manifest(epoch - 1)
-            if prev.get("queued_next", prev.get("queued", 0)) == 0:
+            rev_tbl = self._revisit_due(epoch)
+            n_rev = rev_tbl.num_rows if rev_tbl is not None else 0
+            if prev.get("queued_next", prev.get("queued", 0)) == 0 and n_rev == 0:
                 break
             queued_ds = rd.read_parquet(ck.queued_files(epoch - 1))
-            r = self.run_epoch(epoch, queued_ds)
+            if n_rev:
+                queued_ds = queued_ds.union(rd.from_arrow(rev_tbl))
+            r = self.run_epoch(epoch, queued_ds, revisited=n_rev)
             if r["scheduled"] == 0:
                 break
             summary["epochs"] += 1
             summary["scheduled"] += r["scheduled"]
             summary["fetched"] += r["fetched"]
         summary["seen"] = sum(ray.get([s.size.remote() for s in self.shards]))
+        self.strategy.finished(summary)
         return summary
 
     # -- parity artifacts ----------------------------------------------
@@ -331,7 +375,9 @@ class Crawler:
         return {"crawl_order": order, "counters": counters, "out": out, "seen": seen}
 
 
-def run_crawl(cfg: CrawlConfig, resume: bool = True) -> tuple[Crawler, dict]:
-    c = Crawler(cfg)
+def run_crawl(
+    cfg: CrawlConfig, resume: bool = True, strategy=None
+) -> tuple[Crawler, dict]:
+    c = Crawler(cfg, strategy=strategy)
     s = c.run(resume=resume)
     return c, s

@@ -1,0 +1,45 @@
+"""Seed loaders (SURVEY.md §2.1 S1/S2: reference read_seeds +
+file/S3 seed middlewares — frontera/strategy/__init__.py:~30,
+contrib/middlewares/seeds/{file,s3}.py, approximate cites).
+
+Accepted formats:
+  *.parquet — columns (url [, score])
+  *.txt / anything else — one seed per line: ``url`` or ``url<TAB>score``
+    (or space-separated); blank lines and ``#`` comments skipped.
+
+S3 URLs would flow through the same ray.data readers; out of scope in the
+sealed sandbox.
+
+Seed lists are driver-held here (they are orders of magnitude smaller than
+the frontier); for 10^8+ seed files the same parse runs as
+``ray.data.read_text(...).map_batches(parse)`` feeding the enrich stage
+distributed — the column contract (url, score) is identical.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def read_seed_table(path: str) -> pa.Table:
+    if path.endswith(".parquet"):
+        t = pq.read_table(path)
+        if "score" not in t.schema.names:
+            t = t.append_column(
+                "score", pa.array([1.0] * t.num_rows, pa.float64())
+            )
+        return t.select(["url", "score"])
+    urls: list[str] = []
+    scores: list[float] = []
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t") if "\t" in line else line.split()
+            urls.append(parts[0])
+            scores.append(float(parts[1]) if len(parts) > 1 else 1.0)
+    return pa.table(
+        {"url": pa.array(urls, pa.string()), "score": pa.array(scores, pa.float64())}
+    )

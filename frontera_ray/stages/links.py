@@ -35,12 +35,13 @@ from .enrich import enrich_urls
 
 
 class AdmitLinks:
-    def __init__(self, cfg: CrawlConfig, politeness_ref):
+    def __init__(self, cfg: CrawlConfig, politeness_ref, strategy=None):
         self.num_partitions = cfg.num_partitions
         self.schemes = tuple(f"{s}://" for s in cfg.allowed_schemes)
         self.max_depth = cfg.max_depth
         self.obey_robots = cfg.obey_robots
         self.politeness_ref = politeness_ref
+        self.strategy = strategy  # CrawlStrategy.filter_extracted_links hook
         self._pol = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -61,6 +62,10 @@ class AdmitLinks:
                 self._pol = ray.get(self.politeness_ref)
             hosts = batch["host"].to_pylist()
             ok &= self._pol.allowed_mask(hosts, urls)
+        if self.strategy is not None:
+            ok &= np.asarray(
+                self.strategy.filter_extracted_links(batch), dtype=bool
+            )
         return batch.append_column("allowed", pa.array(ok))
 
 
@@ -72,8 +77,10 @@ class AdmitOfferStage:
     matters at scale: every separate materialize/execute is a pipeline
     barrier whose fixed latency is serial time under Amdahl."""
 
-    def __init__(self, cfg: CrawlConfig, politeness_ref, shard_handles: list):
-        self.admit = AdmitLinks(cfg, politeness_ref)
+    def __init__(
+        self, cfg: CrawlConfig, politeness_ref, shard_handles: list, strategy=None
+    ):
+        self.admit = AdmitLinks(cfg, politeness_ref, strategy)
         self.offer = OfferStage(shard_handles)
 
     def __call__(self, t: pa.Table) -> pa.Table:

@@ -69,3 +69,39 @@ def child_scores(
     if policy == "opic" and opic_cash_sum is not None:
         return opic_cash_sum.astype(np.float64)
     return 1.0 / (depth.astype(np.float64) + 1.0)
+
+
+class CrawlStrategy:
+    """User-extension surface — the vectorized analogue of the reference's
+    BaseCrawlingStrategy hooks (frontera/strategy/__init__.py: read_seeds,
+    page_crawled, links_extracted/filter_extracted_links, page_error,
+    finished — approximate cites, SURVEY.md §0/§2.10). Hooks receive BATCHES
+    (Arrow tables / DataFrames), never single records; override any subset.
+
+    The object is pickled into the stages that call its hooks (AdmitLinks
+    for the link filter; the driver for the rest), so implementations must
+    be picklable and side-effect-free except through their return values.
+    """
+
+    def read_seeds(self, seeds, cfg):
+        """seeds: pa.Table(url, score?) → FRONTIER-shaped QUEUED rows.
+        Default: enrich + score from the seed file."""
+        from .stages.links import seeds_to_frontier
+
+        return seeds_to_frontier(seeds, cfg)
+
+    def filter_extracted_links(self, batch) -> "np.ndarray":
+        """batch: enriched LINKS rows (pa.Table) → bool keep-mask, applied
+        IN ADDITION to scheme/depth/robots gating. Default: keep all."""
+        return np.ones(batch.num_rows, dtype=bool)
+
+    def page_crawled(self, fetched_meta) -> None:
+        """fetched_meta: driver-side DataFrame (url, fp64, partition,
+        n_links) for this epoch's successful fetches."""
+
+    def page_error(self, missed) -> None:
+        """missed: driver-side DataFrame of scheduled rows the fetch
+        simulator could not resolve (ERROR transitions)."""
+
+    def finished(self, summary: dict) -> None:
+        """Called once after the crawl loop exits."""

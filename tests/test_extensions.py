@@ -1,0 +1,96 @@
+"""Extension surface (SURVEY.md §2.10), revisit scheduler (T5), and seed
+loaders (S1)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from frontera_ray.sources import synth
+from frontera_ray.sources.readers import read_seed_table
+from frontera_ray.config import CrawlConfig
+from frontera_ray.strategy import CrawlStrategy
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fx") / "smoke")
+    return synth.write_fixture(d, synth.SMOKE)
+
+
+def _cfg(fixture, ckdir, **kw):
+    return CrawlConfig(
+        pages_paths=fixture["parts"],
+        seeds_path=fixture["seeds_path"],
+        checkpoint_dir=ckdir,
+        policy=kw.pop("policy", "bfs"),
+        max_epochs=kw.pop("max_epochs", 6),
+        **kw,
+    )
+
+
+def test_seed_loader_txt(tmp_path):
+    p = tmp_path / "seeds.txt"
+    p.write_text(
+        "# comment\nhttp://a.test/p0\nhttp://b.test/p0 0.5\n\nhttp://c.test/\t0.25\n"
+    )
+    t = read_seed_table(str(p))
+    assert t["url"].to_pylist() == [
+        "http://a.test/p0",
+        "http://b.test/p0",
+        "http://c.test/",
+    ]
+    assert t["score"].to_pylist() == [1.0, 0.5, 0.25]
+
+
+def test_strategy_link_filter(ray_session, fixture_dir, tmp_path):
+    from frontera_ray.pipelines.crawl import run_crawl
+
+    # defined in function scope so cloudpickle ships it by VALUE — worker
+    # processes cannot import the pytest module (same rule for user code:
+    # module-level strategy classes must live in an importable module)
+    class DropSite1(CrawlStrategy):
+        """filter_extracted_links hook: never follow links into site1.test."""
+
+        def filter_extracted_links(self, batch):
+            hosts = batch["host"].to_pylist()
+            return np.array([h != "site1.test" for h in hosts], dtype=bool)
+
+    strat = DropSite1()
+    cfg = _cfg(fixture_dir, str(tmp_path / "ck"), max_epochs=8)
+    crawler, summary = run_crawl(cfg, resume=False, strategy=strat)
+    out = crawler.ck.read_all_out().to_pandas()
+    # site1's seed is admitted via read_seeds (the hook gates only
+    # *extracted links*), so exactly the seed page of site1 may appear
+    site1 = [u for u in out["url"] if "site1.test" in u]
+    assert site1 == ["http://site1.test/p0"]
+    assert summary["fetched"] > 10
+
+
+def test_revisit_scheduler(ray_session, fixture_dir, tmp_path):
+    """With revisit_after_epochs, CRAWLED urls are re-scheduled and
+    re-fetched after the interval — urls appear multiple times in the
+    crawl order with increasing epochs."""
+    from frontera_ray.pipelines.crawl import run_crawl
+
+    cfg = _cfg(
+        fixture_dir,
+        str(tmp_path / "ckr"),
+        max_epochs=8,
+        revisit_after_epochs=3,
+    )
+    crawler, summary = run_crawl(cfg, resume=False)
+    order = crawler.artifacts()["crawl_order"].to_pandas()
+    dups = order[order["fetched"]].groupby("url").size()
+    assert (dups >= 2).any(), "no url was revisited"
+    # revisits recorded in counters
+    counters = crawler.artifacts()["counters"].to_pandas()
+    assert (counters["metric"] == "revisited").any()
+
+
+def test_revisit_off_means_no_duplicates(ray_session, fixture_dir, tmp_path):
+    from frontera_ray.pipelines.crawl import run_crawl
+
+    cfg = _cfg(fixture_dir, str(tmp_path / "ckn"), max_epochs=8)
+    crawler, _ = run_crawl(cfg, resume=False)
+    order = crawler.artifacts()["crawl_order"].to_pandas()
+    assert order["url"].is_unique
