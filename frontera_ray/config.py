@@ -41,6 +41,16 @@ class CrawlConfig:
     # CRAWLED urls after an interval; epochs are our clock)
     revisit_after_epochs: int | None = None
     batch_size: int = 8192              # map_batches batch size for wide stages
+    # hot-host skew handling (SURVEY.md §4 / hard part 4): split each
+    # scheduler partition into `schedule_salt` sub-groups keyed by
+    # hash(host) — hosts never split, so per-host budget ranks stay exact,
+    # and top-N(partition) == top-N(union of sub-group top-Ns) ⇒ the
+    # schedule is IDENTICAL to salt=1 (tested), just more parallel.
+    schedule_salt: int = 1
+    # politeness state placement: broadcast index (default; one ray.put) or
+    # a sharded actor pool keyed host_hash % num_partitions (the scale path
+    # for 10^8-host robots tables; same partitioner as the seen shards).
+    politeness_actors: bool = False
 
     def __post_init__(self):
         if self.policy not in POLICIES:

@@ -47,7 +47,12 @@ from ..stages.seen_filter import (
     dump_shards,
     restore_shards,
 )
-from ..state.politeness import PolitenessIndex, collect_robots
+from ..state.politeness import (
+    PolitenessClient,
+    PolitenessIndex,
+    collect_robots,
+    make_politeness_pool,
+)
 
 
 def _counters_table(epoch: int, rows: list[tuple[int, str, int]]) -> pa.Table:
@@ -84,7 +89,13 @@ class Crawler:
     # -- setup ----------------------------------------------------------
     def _build_politeness(self) -> None:
         rules = collect_robots(self.cfg.pages_paths) if self.cfg.obey_robots else {}
-        self.politeness_ref = ray.put(PolitenessIndex(rules))
+        if self.cfg.politeness_actors:
+            handles = make_politeness_pool(self.cfg.num_partitions, rules)
+            self.politeness_ref = PolitenessClient(shard_handles=handles)
+        else:
+            self.politeness_ref = PolitenessClient(
+                broadcast_ref=ray.put(PolitenessIndex(rules))
+            )
 
     def _init_frontier(self) -> None:
         """Seeds → enriched, robots-gated, seen-marked QUEUED rows → ckpt init."""
@@ -94,8 +105,9 @@ class Crawler:
         seeds = read_seed_table(cfg.seeds_path)
         rows = self.strategy.read_seeds(seeds, cfg)
         if cfg.obey_robots:
-            pol = ray.get(self.politeness_ref)
-            mask = pol.allowed_mask(rows["host"].to_pylist(), rows["url"].to_pylist())
+            mask = self.politeness_ref.allowed_mask(
+                rows["host"].to_pylist(), rows["url"].to_pylist()
+            )
             rows = rows.filter(pa.array(mask))
         new = seed_seen(
             self.shards,

@@ -40,9 +40,9 @@ class AdmitLinks:
         self.schemes = tuple(f"{s}://" for s in cfg.allowed_schemes)
         self.max_depth = cfg.max_depth
         self.obey_robots = cfg.obey_robots
-        self.politeness_ref = politeness_ref
+        # a PolitenessClient (broadcast or actor-pool placement)
+        self.politeness = politeness_ref
         self.strategy = strategy  # CrawlStrategy.filter_extracted_links hook
-        self._pol = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -58,10 +58,8 @@ class AdmitLinks:
             depths = batch["depth"].to_numpy(zero_copy_only=False)
             ok &= depths <= self.max_depth
         if self.obey_robots:
-            if self._pol is None:
-                self._pol = ray.get(self.politeness_ref)
             hosts = batch["host"].to_pylist()
-            ok &= self._pol.allowed_mask(hosts, urls)
+            ok &= self.politeness.allowed_mask(hosts, urls)
         if self.strategy is not None:
             ok &= np.asarray(
                 self.strategy.filter_extracted_links(batch), dtype=bool

@@ -52,13 +52,37 @@ def schedule(queued_ds, cfg: CrawlConfig) -> pd.DataFrame:
     """QUEUED frontier Dataset → scheduled batch (driver-side DataFrame in
     deterministic global order: partition asc, budget_rank asc, policy keys).
     Callers guarantee the dataset is non-empty (queued counts travel in the
-    checkpoint manifest — no extra execution here just to count)."""
-    out = queued_ds.groupby("partition").map_groups(
+    checkpoint manifest — no extra execution here just to count).
+
+    Hot-host skew (cfg.schedule_salt > 1): each partition group is split
+    into salt sub-groups by hash(host) — hosts never straddle a sub-group,
+    so per-host ranks are exact; each sub-group over-selects its own
+    max_next_requests and the driver takes the per-partition top afterward,
+    which equals the unsalted result exactly (top-N of a set == top-N of
+    the union of its parts' top-Ns)."""
+    salt = max(1, cfg.schedule_salt)
+    if salt == 1:
+        grouped = queued_ds.groupby("partition")
+    else:
+
+        def add_salt(t):
+            import pyarrow as pa
+
+            hh = t["host_hash"].to_numpy(zero_copy_only=False)
+            part = t["partition"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sub = part * salt + (hh % salt)
+            return t.append_column("salt_group", pa.array(sub, pa.int64()))
+
+        queued_ds = queued_ds.map_batches(add_salt, batch_format="pyarrow")
+        grouped = queued_ds.groupby("salt_group")
+    out = grouped.map_groups(
         lambda g: _schedule_group(g, cfg), batch_format="pandas"
     )
-    df = out.to_pandas()  # bounded: ≤ P × max_next_requests rows
+    df = out.to_pandas()  # bounded: ≤ P × salt × max_next_requests rows
     if df.empty:
         return df
+    if "salt_group" in df.columns:
+        df = df.drop(columns=["salt_group"])
     cols = ["partition", "budget_rank"] + [c for c, _ in POLICY_KEYS[cfg.policy] if c != "rand_key"]
     asc = [True, True] + [a for c, a in POLICY_KEYS[cfg.policy] if c != "rand_key"]
     if cfg.policy == "random":
@@ -67,6 +91,10 @@ def schedule(queued_ds, cfg: CrawlConfig) -> pd.DataFrame:
         cols = ["partition", "budget_rank", "rand_key", "fp64"]
         asc = [True, True, True, True]
     df = df.sort_values(cols, ascending=asc, kind="mergesort").reset_index(drop=True)
+    # per-partition cap — a no-op at salt=1 (groups pre-trimmed), the
+    # union-trim at salt>1
+    df = df.groupby("partition", sort=False).head(cfg.max_next_requests)
+    df = df.reset_index(drop=True)
     if "rand_key" in df.columns:
         df = df.drop(columns=["rand_key"])
     return df

@@ -80,6 +80,77 @@ class PolitenessIndex:
         return out
 
 
+class PolitenessShard:
+    """One shard of the robots/domain-state pool (T4 actor-pool scale path;
+    reference analogue: DomainCache, hbase/domaincache.py:~1-250 approx).
+    Wrapped in ray.remote by make_politeness_pool; keyed by the global host
+    partitioner signed_crc32(host) % K."""
+
+    def __init__(self, shard_id: int):
+        self.shard_id = shard_id
+        self.index = PolitenessIndex({})
+
+    def load(self, host_rules: dict[str, str]) -> int:
+        self.index = PolitenessIndex(host_rules)
+        return len(host_rules)
+
+    def allowed(self, hosts: list[str], urls: list[str]) -> np.ndarray:
+        return self.index.allowed_mask(hosts, urls)
+
+
+def make_politeness_pool(num_shards: int, host_rules: dict[str, str]) -> list:
+    """K politeness shard actors loaded with their slice of the rules."""
+    import ray
+
+    from ..functions.fingerprint import signed_crc32
+
+    RemoteShard = ray.remote(PolitenessShard)
+    handles = [RemoteShard.remote(i) for i in range(num_shards)]
+    slices: list[dict[str, str]] = [{} for _ in range(num_shards)]
+    for h, b in host_rules.items():
+        slices[signed_crc32(h) % num_shards][h] = b
+    ray.get([s.load.remote(sl) for s, sl in zip(handles, slices)])
+    return handles
+
+
+class PolitenessClient:
+    """Uniform gate interface over the two placements (SURVEY.md §2.3 T4):
+    broadcast index (one ray.put, lookup in-process) or sharded actor pool
+    (host_hash-routed batch calls). Picklable into map_batches stages."""
+
+    def __init__(self, broadcast_ref=None, shard_handles: list | None = None):
+        self.broadcast_ref = broadcast_ref
+        self.shards = shard_handles
+        self._idx = None
+
+    def allowed_mask(self, hosts: list[str], urls: list[str]) -> np.ndarray:
+        import ray
+
+        if self.shards is None:
+            if self._idx is None:
+                self._idx = ray.get(self.broadcast_ref)
+            return self._idx.allowed_mask(hosts, urls)
+        from ..functions.fingerprint import crc32_batch
+
+        k = len(self.shards)
+        shard_of = crc32_batch(list(hosts)) % k
+        out = np.ones(len(urls), dtype=bool)
+        futs = []
+        for s in np.unique(shard_of):
+            idx = np.nonzero(shard_of == s)[0]
+            futs.append(
+                (
+                    idx,
+                    self.shards[int(s)].allowed.remote(
+                        [hosts[i] for i in idx], [urls[i] for i in idx]
+                    ),
+                )
+            )
+        for idx, f in futs:
+            out[idx] = ray.get(f)
+        return out
+
+
 def collect_robots(pages_paths: list[str]) -> dict[str, str]:
     """One pruned distributed pass over the pages table → {host: robots body}.
 

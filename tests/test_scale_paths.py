@@ -1,0 +1,50 @@
+"""Scale-path equivalence: salted scheduling and the politeness actor pool
+must produce IDENTICAL crawls to the default placements (SURVEY.md hard
+part 4 / §2.3 T4)."""
+
+import pytest
+
+from frontera_ray.sources import synth
+from frontera_ray.config import CrawlConfig
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fx") / "smoke")
+    return synth.write_fixture(d, synth.SMOKE)
+
+
+def _artifacts(crawler):
+    a = crawler.artifacts()
+    order = a["crawl_order"].to_pandas().sort_values("seq")
+    return (
+        list(zip(order["url"], order["epoch"], order["fetched"])),
+        a["seen"].tolist(),
+    )
+
+
+def _run(fixture, ckdir, **kw):
+    from frontera_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(
+        pages_paths=fixture["parts"],
+        seeds_path=fixture["seeds_path"],
+        checkpoint_dir=ckdir,
+        policy="bfs",
+        max_epochs=6,
+        **kw,
+    )
+    crawler, _ = run_crawl(cfg, resume=False)
+    return _artifacts(crawler)
+
+
+def test_salted_schedule_identical(ray_session, fixture_dir, tmp_path):
+    base = _run(fixture_dir, str(tmp_path / "a"))
+    salted = _run(fixture_dir, str(tmp_path / "b"), schedule_salt=3)
+    assert salted == base
+
+
+def test_politeness_actor_pool_identical(ray_session, fixture_dir, tmp_path):
+    base = _run(fixture_dir, str(tmp_path / "c"))
+    actors = _run(fixture_dir, str(tmp_path / "d"), politeness_actors=True)
+    assert actors == base
