@@ -57,7 +57,15 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from frontera_ray.ops import ann, dedup, multimodal, relational, sketches, text
+    from frontera_ray.ops import (
+        ann,
+        dedup,
+        multimodal,
+        relational,
+        sketches,
+        temporal,
+        text,
+    )
 
     def crawl_order(sf_dir: str):
         return _crawl_artifacts(sf_dir).artifacts()["crawl_order"]
@@ -101,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
+        # temporal joins / sessions
+        "asof_join": temporal.asof_join,
+        "sessionize": temporal.sessionize,
         # sketches + sampling
         "hll_distinct_users": sketches.hll_distinct_users,
         "hash_sample": sketches.hash_sample,
@@ -179,6 +190,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
+        ),
+        "asof_join": (
+            "SELECT event_id, user_id, o_orderkey FROM ("
+            "SELECT e.event_id, e.user_id, o.o_orderkey, "
+            "row_number() OVER (PARTITION BY e.event_id "
+            "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+            "FROM events e JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate) WHERE rn = 1"
+        ),
+        "sessionize": (
+            "SELECT user_id, count(*) AS n_events, "
+            "CAST(1 + sum(CASE WHEN prev_ts IS NOT NULL AND "
+            "ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_sessions FROM ("
+            "SELECT user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) "
+            "GROUP BY user_id"
         ),
         "hash_sample": (
             "SELECT event_id, event_type, value FROM events "

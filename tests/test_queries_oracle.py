@@ -122,6 +122,12 @@ def test_entry_and_crawl_queries(contract):
     df = _to_df(out)
     assert len(df) > 0
     assert {"url", "text", "fp64"} <= set(df.columns)
+    # byte-identity invariant against the REAL testdata source: every
+    # crawled page's text is verbatim a documents.text value
+    doc_texts = set(pd.read_parquet(f"{SF_DIR}/documents.parquet")["text"])
+    for url, text in zip(df["url"], df["text"]):
+        if not url.endswith("robots.txt"):
+            assert text in doc_texts, f"text mutated for {url}"
     queries, _ = contract
     order = _to_df(queries["crawl_order_bfs"](SF_DIR))
     assert len(order) > 0
