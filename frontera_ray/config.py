@@ -26,6 +26,7 @@ class CrawlConfig:
     policy: str = "bfs"
     seed: int = 42
     seen_capacity: int = 1 << 20        # per-shard cuckoo capacity
+    seen_spill_threshold: int = 1 << 22  # hot-set size before freezing a run
     obey_robots: bool = True
     # pages table stores already-canonical URLs (true for production layouts
     # where the store is keyed by the frontier's canonical URL): lets the

@@ -81,7 +81,9 @@ class Crawler:
 
         self.cfg = cfg
         self.ck = Checkpoint(cfg.checkpoint_dir)
-        self.shards = make_seen_pool(cfg.num_partitions, cfg.seen_capacity)
+        self.shards = make_seen_pool(
+            cfg.num_partitions, cfg.seen_capacity, cfg.seen_spill_threshold
+        )
         self.politeness_ref = None
         self.strategy = strategy if strategy is not None else CrawlStrategy()
         self.seq = 0
@@ -118,12 +120,39 @@ class Crawler:
         self.ck.prepare(-1)
         self.ck.write_queued_table(-1, rows)
         self.ck.write_seen(-1, dump_shards(self.shards))
-        self.ck.finish(-1, {"epoch": -1, "seq_next": 0, "queued": rows.num_rows})
+        self.ck.finish(
+            -1,
+            {
+                "epoch": -1,
+                "seq_next": 0,
+                "queued": rows.num_rows,
+                "config_fp": self._config_fingerprint(),
+            },
+        )
 
     # -- resume ---------------------------------------------------------
+    def _config_fingerprint(self) -> str:
+        import hashlib
+        from dataclasses import asdict
+
+        d = asdict(self.cfg)
+        d.pop("checkpoint_dir", None)  # moving a checkpoint tree is fine
+        return hashlib.md5(repr(sorted(d.items())).encode()).hexdigest()[:12]
+
     def _resume_from(self, epoch: int) -> None:
         restore_shards(self.shards, self.ck.load_seen(epoch))
-        self.seq = int(self.ck.load_manifest(epoch).get("seq_next", 0))
+        manifest = self.ck.load_manifest(epoch)
+        self.seq = int(manifest.get("seq_next", 0))
+        prev_fp = manifest.get("config_fp")
+        if prev_fp is not None and prev_fp != self._config_fingerprint():
+            import warnings
+
+            warnings.warn(
+                f"resuming checkpoint written with a different config "
+                f"(fp {prev_fp} != {self._config_fingerprint()}); the crawl "
+                f"continues under the NEW config",
+                stacklevel=2,
+            )
 
     # -- revisit scheduler (T5) -----------------------------------------
     def _revisit_due(self, epoch: int) -> pa.Table | None:
@@ -326,6 +355,7 @@ class Crawler:
             {
                 "epoch": epoch,
                 "seq_next": self.seq,
+                "config_fp": self._config_fingerprint(),
                 "scheduled": len(sched),
                 "fetched": len(fmeta),
                 "errors": len(missed),

@@ -23,11 +23,13 @@ import ray
 from ..state.seen import SeenShard
 
 
-def make_seen_pool(num_shards: int, capacity: int) -> list:
+def make_seen_pool(
+    num_shards: int, capacity: int, spill_threshold: int = 1 << 22
+) -> list:
     """K seen-shard actors, one per host partition."""
     RemoteShard = ray.remote(SeenShard)
     return [
-        RemoteShard.options(max_restarts=1).remote(i, capacity)
+        RemoteShard.options(max_restarts=1).remote(i, capacity, spill_threshold)
         for i in range(num_shards)
     ]
 

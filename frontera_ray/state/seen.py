@@ -44,12 +44,39 @@ class SeenShard:
     """One shard of the URL-seen set. Plain class; wrapped in ray.remote by
     the pipeline (so tests can exercise it without a cluster)."""
 
-    def __init__(self, shard_id: int, capacity: int = 1 << 20):
+    def __init__(
+        self, shard_id: int, capacity: int = 1 << 20, spill_threshold: int = 1 << 22
+    ):
         self.shard_id = shard_id
         self.capacity = capacity
         self.cuckoo = CuckooFilter(capacity, seed=shard_id)
         self.bloom: BloomFilter | None = None
+        # authoritative store = hot set + frozen sorted runs (8 B/key vs
+        # ~60 B/key for set entries — the 10^10-scale memory path; runs are
+        # disjoint by construction since membership is checked before add)
         self.exact: set[int] = set()
+        self.runs: list[np.ndarray] = []
+        self.spill_threshold = spill_threshold
+
+    # -- frozen-run helpers ---------------------------------------------
+    def _runs_contains(self, fps: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(fps), dtype=bool)
+        for run in self.runs:
+            idx = np.minimum(np.searchsorted(run, fps), len(run) - 1)
+            out |= run[idx] == fps
+        return out
+
+    def _maybe_spill(self) -> None:
+        if len(self.exact) <= self.spill_threshold:
+            return
+        arr = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+        arr.sort()
+        self.runs.append(arr)
+        self.exact = set()
+        if len(self.runs) > 4:  # bound probe cost: compact to one run
+            merged = np.concatenate(self.runs)
+            merged.sort()
+            self.runs = [merged]
 
     # -- core op: test-and-set, vectorized ------------------------------
     def add_if_new(self, fps: np.ndarray) -> np.ndarray:
@@ -69,12 +96,13 @@ class SeenShard:
             maybe |= self.bloom.contains_batch(fps)
         new = np.zeros(n, dtype=bool)
         exact = self.exact
+        run_hit = self._runs_contains(fps) if self.runs else None
         # definitely-new fast path still needs in-batch dedup
         batch_seen: set[int] = set()
         for i in range(n):
             k = int(fps[i])
             if maybe[i]:
-                if k in exact:
+                if k in exact or (run_hit is not None and run_hit[i]):
                     continue
             elif k in batch_seen:
                 continue
@@ -92,6 +120,7 @@ class SeenShard:
                 if self.bloom is None:
                     self.bloom = BloomFilter(self.capacity * 4)
                 self.bloom.add_batch(arr)
+        self._maybe_spill()
         return new
 
     # -- epoch-synchronous candidate resolution (offer/resolve protocol) --
@@ -116,10 +145,12 @@ class SeenShard:
         """Accumulate candidate edges for unseen fps; returns #accepted."""
         pending = self.pending
         exact = self.exact
+        fps = np.asarray(fps, dtype=np.uint64)
+        run_hit = self._runs_contains(fps) if self.runs else None
         n = 0
         for i in range(len(fps)):
             fp = int(fps[i])
-            if fp in exact:
+            if fp in exact or (run_hit is not None and run_hit[i]):
                 continue
             n += 1
             cur = pending.get(fp)
@@ -204,22 +235,32 @@ class SeenShard:
 
     def contains(self, fps: np.ndarray) -> np.ndarray:
         fps = np.asarray(fps, dtype=np.uint64)
-        return np.fromiter(
+        out = np.fromiter(
             (int(k) in self.exact for k in fps), dtype=bool, count=len(fps)
         )
+        if self.runs:
+            out |= self._runs_contains(fps)
+        return out
 
     def size(self) -> int:
-        return len(self.exact)
+        return len(self.exact) + sum(len(r) for r in self.runs)
 
     def keys(self) -> np.ndarray:
         """Sorted uint64 fingerprints (parity-check boundary)."""
-        return np.fromiter(sorted(self.exact), dtype=np.uint64, count=len(self.exact))
+        parts = [np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))]
+        parts.extend(self.runs)
+        allk = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+        allk.sort()
+        return allk
 
     # -- checkpoint ------------------------------------------------------
     def dump(self) -> bytes:
+        """Byte-stable: one sorted uint64 array regardless of the internal
+        hot-set/frozen-run split (spill state is an implementation detail,
+        not checkpoint content)."""
         ck = self.cuckoo.dump()
         bl = self.bloom.dump() if self.bloom is not None else b""
-        exact = np.fromiter(sorted(self.exact), dtype=np.uint64, count=len(self.exact))
+        exact = self.keys()
         header = struct.pack(
             "<4sQQQQQ", _MAGIC, self.shard_id, self.capacity, len(ck), len(bl), len(exact)
         )
@@ -237,9 +278,11 @@ class SeenShard:
         off += nck
         obj.bloom = BloomFilter.restore(data[off : off + nbl]) if nbl else None
         off += nbl
-        obj.exact = set(
-            int(x) for x in np.frombuffer(data, dtype=np.uint64, count=nex, offset=off)
-        )
+        # restore into ONE frozen run (8 B/key) — no hot-set rebuild
+        arr = np.frombuffer(data, dtype=np.uint64, count=nex, offset=off).copy()
+        obj.exact = set()
+        obj.runs = [arr] if len(arr) else []
+        obj.spill_threshold = 1 << 22
         return obj
 
     # remote-friendly restore-in-place (actor method)
@@ -250,4 +293,6 @@ class SeenShard:
         self.cuckoo = other.cuckoo
         self.bloom = other.bloom
         self.exact = other.exact
-        return len(self.exact)
+        self.runs = other.runs
+        self.spill_threshold = other.spill_threshold
+        return self.size()

@@ -119,3 +119,28 @@ class TestSeenShard:
     def test_empty_batch(self):
         sh = SeenShard(0)
         assert sh.add_if_new(np.array([], dtype=np.uint64)).shape == (0,)
+
+    def test_spill_to_frozen_runs_stays_exact(self):
+        sh = SeenShard(0, capacity=1 << 14, spill_threshold=500)
+        k1, k2, k3 = keys(400, 1), keys(400, 2), keys(400, 3)
+        assert sh.add_if_new(k1).all()
+        assert sh.add_if_new(k2).all()   # triggers spill of the hot set
+        assert sh.runs, "expected a frozen run after crossing the threshold"
+        assert not sh.add_if_new(k1).any()  # spilled keys still seen
+        assert not sh.add_if_new(k2).any()
+        assert sh.add_if_new(k3).all()
+        assert sh.size() == 1200
+        assert sh.contains(k1).all() and sh.contains(k3).all()
+        # dump/restore squashes the split, stays byte-stable + exact
+        blob = sh.dump()
+        sh2 = SeenShard.restore(blob)
+        assert sh2.size() == 1200
+        assert not sh2.add_if_new(k1).any()
+        assert sh2.dump() == blob
+
+    def test_run_compaction(self):
+        sh = SeenShard(0, capacity=1 << 14, spill_threshold=100)
+        for seed in range(12):  # many spills → compaction to ≤ 4+1 runs
+            sh.add_if_new(keys(150, seed + 10))
+        assert len(sh.runs) <= 5
+        assert sh.size() == 12 * 150
