@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
+        "embedding_stats": ann.embedding_stats,
         # temporal joins / sessions
         "asof_join": temporal.asof_join,
         "sessionize": temporal.sessionize,
@@ -238,6 +239,12 @@ def oracle_sql() -> dict[str, str]:
             "ON a.label = b.label AND a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+        ),
+        "embedding_stats": (
+            "SELECT label, count(*) AS n, "
+            "CAST(floor(avg(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'))"
+            "*10000 + 0.5) AS BIGINT) AS mean_vsum_e4 "
+            "FROM embeddings GROUP BY label"
         ),
         "ann_bruteforce": (
             "SELECT query_id, vec_id, "

@@ -122,7 +122,6 @@ def stage_bench(ncpus: int) -> dict:
     """Per-stage rows/s over the full 1M-page table (BASELINE.md table):
     isolates the compute kernels from epoch orchestration."""
     import ray.data as rd
-    import pyarrow.compute as pc
 
     from frontera_ray.sources import synth
     from frontera_ray.stages.enrich import EnrichStage
@@ -215,27 +214,33 @@ def run_bench() -> dict:
     return result
 
 
+_HW_PROBE = """
+import hashlib, multiprocessing as mp, time, json
+def work(n):
+    h = hashlib.sha1
+    for i in range(n):
+        h(str(i).encode()).digest()
+def run(procs, per=1_000_000):
+    with mp.Pool(procs) as p:
+        t0 = time.perf_counter()
+        p.map(work, [per] * procs)
+        return procs * per / (time.perf_counter() - t0)
+if __name__ == "__main__":
+    r8 = max(run(8), run(8)); r32 = max(run(32), run(32))
+    print(json.dumps(round(r32 / r8 / 4, 3)))
+"""
+
+
 def hw_ceiling() -> float:
     """Pure-CPU scaling of THIS box, no Ray: 8 vs 32 multiprocessing
-    workers hashing. On shared/SMT hardware this is < 1.0 and is the upper
-    bound any 8-vs-32 measurement can reach — report it alongside."""
-    import hashlib
-    import multiprocessing as mp
-
-    def work(n):
-        h = hashlib.sha1
-        for i in range(n):
-            h(str(i).encode()).digest()
-
-    def run(procs, per=1_000_000):
-        with mp.Pool(procs) as p:
-            t0 = time.perf_counter()
-            p.map(work, [per] * procs)
-            return procs * per / (time.perf_counter() - t0)
-
-    r8 = max(run(8), run(8))
-    r32 = max(run(32), run(32))
-    return round(r32 / r8 / 4, 3)
+    workers hashing, in a clean subprocess (the bench process may have a
+    spawn start-method where nested functions don't pickle). On shared/SMT
+    hardware this is < 1.0 and is the upper bound any 8-vs-32 measurement
+    can reach — report it alongside."""
+    out = subprocess.run(
+        [sys.executable, "-c", _HW_PROBE], capture_output=True, text=True, check=True
+    ).stdout
+    return float(json.loads(out.strip().splitlines()[-1]))
 
 
 def run_scaling() -> dict:

@@ -93,6 +93,49 @@ def ann_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8):
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def embedding_stats(sf_dir: str):
+    """Per-label vector aggregates (the groupby tier of embedding
+    pipelines): count + scaled mean of per-vector component sums. Arrow
+    list column → numpy per batch, ONE small groupby of partials."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sums = np.array(
+            [float(np.asarray(e, dtype=np.float64).sum()) for e in t["embedding"].to_pylist()]
+        )
+        return pa.table({"label": t["label"], "vsum": pa.array(sums, pa.float64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Sum("vsum", alias_name="mean_vsum_e4"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["mean_vsum_e4"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.floor(s / n * 10_000 + 0.5).astype(np.int64)
+        t = t.set_column(
+            t.schema.get_field_index("mean_vsum_e4"),
+            "mean_vsum_e4",
+            pa.array(v, pa.int64()),
+        )
+        # Ray's aggregate upcasts the int32 key; restore the source dtype
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("label"),
+            "label",
+            pc.cast(t["label"], pa.int32()),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 class LshIndexStage:
     """Random-hyperplane LSH bucket assignment (deterministic planes from a
     seeded generator, built once per actor — T6 pattern)."""

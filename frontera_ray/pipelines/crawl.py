@@ -32,7 +32,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
 from .. import schema as S
 from ..config import CrawlConfig
@@ -40,7 +39,7 @@ from ..sources.checkpoint import Checkpoint
 from ..stages.schedule import schedule
 from ..stages.fetch_sim import fetch_sim
 from ..stages.extract import ExtractLinks
-from ..stages.links import AdmitOfferStage, seeds_to_frontier
+from ..stages.links import AdmitOfferStage
 from ..stages.seen_filter import (
     make_seen_pool,
     seed_seen,

@@ -80,6 +80,25 @@ def test_policy_parity(ray_session, fixture_dir, pages_text, tmp_path, policy, m
     assert summary["scheduled"] == len(oracle["crawl_order"])
 
 
+def test_conformance_scale_parity(ray_session, tmp_path_factory, tmp_path):
+    """FIXTURES.md conformance size (50 hosts × 40 pages ≈ 2k rows): exact
+    parity on a partial BFS crawl at the bigger graph (robots rules hit
+    s ∈ {3,10,17,…} and the cross-host lattice is denser)."""
+    d = str(tmp_path_factory.mktemp("fxc") / "conf")
+    fx = synth.write_fixture(d, synth.CONFORMANCE)
+    cfg = _cfg(fx, str(tmp_path / "ck_conf"), "bfs", max_epochs=6)
+    artifacts, summary = _run_ray(cfg)
+    oracle = run_oracle(cfg)
+    order = artifacts["crawl_order"].to_pandas().sort_values("seq")
+    ray_seq = list(zip(order["seq"], order["url"], order["epoch"], order["fetched"]))
+    oracle_seq = [(s, u, e, f) for s, u, e, f in oracle["crawl_order"]]
+    assert ray_seq == oracle_seq
+    import numpy as np
+
+    assert np.array_equal(artifacts["seen"], oracle["seen"])
+    assert summary["fetched"] > 30  # politeness budget bounds the 6-epoch ramp
+
+
 def test_bfs_crawls_expected_set(ray_session, fixture_dir, tmp_path):
     """Sanity on the golden structure: site4 fully robots-blocked, site3
     reached only via cross-host links, p1-subtrees blocked on s%7==3."""
