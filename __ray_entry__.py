@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_token_stats": sketches.regex_token_stats,
         # multimodal plumbing (stub decode, real actor/batch/schema path)
         "media_features": multimodal.media_features,
+        "media_pipeline": multimodal.media_pipeline,
         # crawl pipeline artifacts (non-SQL: stateful actors + epochs)
         "crawl_order_bfs": crawl_order,
         "crawl_out_text": crawl_out,

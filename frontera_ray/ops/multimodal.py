@@ -94,6 +94,82 @@ def documents_as_media(sf_dir: str):
     return ds.map_batches(to_media, batch_format="pyarrow")
 
 
+class ResizeStage:
+    """STUB 'resize': deterministic re-binning of the feature histogram to
+    a smaller dim (a real build decodes + PIL-resamples; the actor/batch
+    shape is identical). Demonstrates chained media stages."""
+
+    def __init__(self, out_dim: int = 4):
+        self.out_dim = out_dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = [np.asarray(f, dtype=np.float32) for f in t["feature"].to_pylist()]
+        factor = FEATURE_DIM // self.out_dim
+        small = [f.reshape(self.out_dim, factor).sum(axis=1) for f in feats]
+        out = t.drop_columns(
+            [c for c in ("feature", "feature_norm") if c in t.schema.names]
+        )
+        return out.append_column(
+            "feature_small",
+            pa.array(
+                [list(map(float, s)) for s in small],
+                pa.list_(pa.float32(), self.out_dim),
+            ),
+        )
+
+
+class FrameSampleStage:
+    """STUB 'frame sample': split the payload into fixed-size chunks
+    ("frames") and keep every k-th — the video-frame-sampling plumbing
+    (small batches, one row per kept frame, flat_map-shaped output)."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 4):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frames, idxs = [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            payload = payload or b""
+            n = max(1, (len(payload) + self.frame_bytes - 1) // self.frame_bytes)
+            for j in range(0, n, self.stride):
+                ids.append(mid)
+                idxs.append(j)
+                frames.append(payload[j * self.frame_bytes : (j + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def media_pipeline(sf_dir: str):
+    """Chained media stages: payloads → decode/features → resize; video
+    rows additionally frame-sampled. Returns per-media summary rows."""
+    media = documents_as_media(sf_dir).materialize()
+    feats = media.map_batches(
+        MediaFeatureStage, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    small = feats.map_batches(ResizeStage(), batch_format="pyarrow")
+    frames = media.map_batches(
+        FrameSampleStage(), batch_format="pyarrow", batch_size=256
+    )
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    n_frames = (
+        frames.groupby("media_id").aggregate(Count(alias_name="n_frames")).to_pandas()
+    )
+    sm = small.to_pandas()
+    sm["feat_small_sum"] = sm["feature_small"].map(
+        lambda v: float(np.round(np.asarray(v, dtype=np.float64).sum(), 6))
+    )
+    out = sm.drop(columns=["feature_small"]).merge(n_frames, on="media_id")
+    return pa.Table.from_pandas(out.sort_values("media_id").reset_index(drop=True), preserve_index=False)
+
+
 def media_features(sf_dir: str):
     """The headline multimodal pipeline: binary payloads → actor-pool
     decode/feature stage (small batches for wide rows) → features table."""
