@@ -227,28 +227,42 @@ class Crawler:
 
         ck.prepare(epoch)
 
-        # out_e — text carried byte-identical (the per-row invariant)
-        def project_out(b: pa.Table) -> pa.Table:
-            n = b.num_rows
-            return pa.table(
-                {
-                    "url": b["url"],
-                    "fp64": b["fp64"],
-                    "text": b["text"],
-                    "lang": b["lang"],
-                    "n_links": b["n_links"],
-                    "fetched_epoch": pa.array(np.full(n, epoch, dtype=np.int32)),
-                    "partition": b["partition"],
-                }
-            )
+        # out_e — text carried byte-identical (the per-row invariant) —
+        # written by a PASS-THROUGH stage inside the extract pipeline below
+        # (each batch writes its own out-part; one less execution barrier)
+        class WriteOut:
+            def __init__(self, out_dir: str, epoch: int):
+                self.out_dir = out_dir
+                self.epoch = epoch
 
-        t0 = _t()
-        fetched_ds.map_batches(project_out, batch_format="pyarrow").write_parquet(
-            ck.out_dir(epoch)
-        )
-        stage_sec["write_out"] = round(_t() - t0, 3)
+            def __call__(self, b: pa.Table) -> pa.Table:
+                if b.num_rows:
+                    import uuid
 
-        # link admission: ONE fused execution — extract → gate → offer,
+                    import pyarrow.parquet as _pq
+
+                    n = b.num_rows
+                    out = pa.table(
+                        {
+                            "url": b["url"],
+                            "fp64": b["fp64"],
+                            "text": b["text"],
+                            "lang": b["lang"],
+                            "n_links": b["n_links"],
+                            "fetched_epoch": pa.array(
+                                np.full(n, self.epoch, dtype=np.int32)
+                            ),
+                            "partition": b["partition"],
+                        }
+                    )
+                    _pq.write_table(
+                        out,
+                        os.path.join(self.out_dir, f"part-{uuid.uuid4().hex}.parquet"),
+                    )
+                return b
+
+        # link admission: ONE fused execution — write-out → extract → gate
+        # → offer,
         # emitting per-batch gate-counter partials (A1 pattern; a
         # driver-side sum over tiny rows, NOT an all-to-all). Dedup +
         # seen-check happen shard-side via the offer/resolve protocol
@@ -261,7 +275,10 @@ class Crawler:
             ]
         )
         gate_df = (
-            fetched_ds.map_batches(ExtractLinks(epoch), batch_format="pyarrow")
+            fetched_ds.map_batches(
+                WriteOut(ck.out_dir(epoch), epoch), batch_format="pyarrow"
+            )
+            .map_batches(ExtractLinks(epoch), batch_format="pyarrow")
             .map_batches(
                 AdmitOfferStage(
                     cfg, self.politeness_ref, self.shards, self.strategy
