@@ -78,6 +78,7 @@ def cmd_crawl(args) -> int:
         max_next_requests=args.max_next,
         revisit_after_epochs=args.revisit_after,
         obey_robots=not args.ignore_robots,
+        follow_sitemaps=args.follow_sitemaps,
     )
     _, summary = run_crawl(cfg, resume=args.resume)
     print(json.dumps(summary))
@@ -125,6 +126,7 @@ def main(argv=None) -> int:
     pc.add_argument("--max-next", type=int, default=64)
     pc.add_argument("--revisit-after", type=int, default=None)
     pc.add_argument("--ignore-robots", action="store_true")
+    pc.add_argument("--follow-sitemaps", action="store_true")
     pc.add_argument("--resume", action="store_true")
     pc.add_argument("--num-cpus", type=int, default=None)
     pc.set_defaults(fn=cmd_crawl)

@@ -28,6 +28,8 @@ class CrawlConfig:
     seen_capacity: int = 1 << 20        # per-shard cuckoo capacity
     seen_spill_threshold: int = 1 << 22  # hot-set size before freezing a run
     obey_robots: bool = True
+    follow_sitemaps: bool = False       # also admit <loc> urls from fetched
+                                        # /sitemap.xml documents (M9)
     # pages table stores already-canonical URLs (true for production layouts
     # where the store is keyed by the frontier's canonical URL): lets the
     # fetch simulator push its URL filter into the parquet scan so

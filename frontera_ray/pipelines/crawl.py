@@ -38,7 +38,7 @@ from ..config import CrawlConfig
 from ..sources.checkpoint import Checkpoint
 from ..stages.schedule import schedule
 from ..stages.fetch_sim import fetch_sim
-from ..stages.extract import ExtractLinks
+from ..stages.extract import ExtractAllLinks
 from ..stages.links import AdmitOfferStage
 from ..stages.seen_filter import (
     make_seen_pool,
@@ -278,7 +278,9 @@ class Crawler:
             fetched_ds.map_batches(
                 WriteOut(ck.out_dir(epoch), epoch), batch_format="pyarrow"
             )
-            .map_batches(ExtractLinks(epoch), batch_format="pyarrow")
+            .map_batches(
+                ExtractAllLinks(epoch, cfg.follow_sitemaps), batch_format="pyarrow"
+            )
             .map_batches(
                 AdmitOfferStage(
                     cfg, self.politeness_ref, self.shards, self.strategy

@@ -80,3 +80,25 @@ def count_links(html: bytes | None) -> int:
     if not html:
         return 0
     return len(_HREF_RE.findall(html))
+
+
+class ExtractAllLinks:
+    """Anchor links + (optionally) sitemap <loc> links in one pass —
+    keeps the fused write-out → extract → admit → offer chain a single
+    execution regardless of cfg.follow_sitemaps."""
+
+    def __init__(self, epoch: int, follow_sitemaps: bool = False):
+        self.anchors = ExtractLinks(epoch)
+        if follow_sitemaps:
+            from .sitemap import ExtractSitemapLinks
+
+            self.sitemaps = ExtractSitemapLinks(epoch)
+        else:
+            self.sitemaps = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = self.anchors(t)
+        if self.sitemaps is None:
+            return a
+        b = self.sitemaps(t)
+        return pa.concat_tables([a, b]) if b.num_rows else a

@@ -170,6 +170,8 @@ def collect_robots(pages_paths: list[str]) -> dict[str, str]:
         return pa.table({"host": hosts, "body": sub["text"]})
 
     tbl = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    if tbl.empty:  # no robots.txt rows anywhere → everything allowed
+        return {}
     # deterministic winner on duplicate hosts: lexicographically smallest body
     tbl = tbl.sort_values(["host", "body"]).drop_duplicates("host", keep="first")
     return dict(zip(tbl["host"], tbl["body"]))
