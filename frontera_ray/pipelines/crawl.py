@@ -195,6 +195,9 @@ class Crawler:
         if sched.empty:
             return {"scheduled": 0}
         counters += _per_partition_counts(sched, "scheduled", epoch)
+        # politeness observability: distinct hosts in this epoch's batch
+        dh = sched.groupby("partition")["host"].nunique()
+        counters += [(int(p), "distinct_hosts", int(v)) for p, v in dh.items()]
         if revisited:
             counters.append((-1, "revisited", int(revisited)))
 
