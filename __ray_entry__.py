@@ -41,6 +41,8 @@ def _crawl_artifacts(sf_dir: str, policy: str = "bfs", max_epochs: int = 8):
         checkpoint_dir=f"/tmp/frontera_ray/ck-{tag}",
         policy=policy,
         max_epochs=max_epochs,
+        # webify emits canonical urls (ops/webify.py) → scan pushdown is valid
+        assume_canonical_pages=True,
     )
     crawler, summary = run_crawl(cfg, resume=False)
     _CRAWL_CACHE[key] = crawler

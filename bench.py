@@ -100,6 +100,9 @@ def crawl_bench(ncpus: int) -> dict:
             max_next_requests=16384,
             max_epochs=CRAWL_EPOCHS,
             seen_capacity=1 << 21,
+            # the BENCH fixture stores canonical urls (dirty_variants=False)
+            # → push the scheduled-url filter into the parquet scan
+            assume_canonical_pages=True,
         )
         t0 = time.perf_counter()
         _, summary = run_crawl(cfg, resume=False)

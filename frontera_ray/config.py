@@ -27,6 +27,8 @@ class CrawlConfig:
     seed: int = 42
     seen_capacity: int = 1 << 20        # per-shard cuckoo capacity
     seen_spill_threshold: int = 1 << 22  # hot-set size before freezing a run
+    seen_spill_dir: str | None = None   # disk-spill sorted runs here (10^10 path)
+    seen_max_resident_keys: int = 1 << 26  # per-shard RAM keys before disk spill
     obey_robots: bool = True
     follow_sitemaps: bool = False       # also admit <loc> urls from fetched
                                         # /sitemap.xml documents (M9)

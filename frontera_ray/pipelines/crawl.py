@@ -37,7 +37,7 @@ from .. import schema as S
 from ..config import CrawlConfig
 from ..sources.checkpoint import Checkpoint
 from ..stages.schedule import schedule
-from ..stages.fetch_sim import fetch_sim
+from ..stages.fetch_sim import fetch_sim, winner_raw_urls
 from ..stages.extract import ExtractAllLinks
 from ..stages.links import AdmitOfferStage
 from ..stages.seen_filter import (
@@ -81,7 +81,11 @@ class Crawler:
         self.cfg = cfg
         self.ck = Checkpoint(cfg.checkpoint_dir)
         self.shards = make_seen_pool(
-            cfg.num_partitions, cfg.seen_capacity, cfg.seen_spill_threshold
+            cfg.num_partitions,
+            cfg.seen_capacity,
+            cfg.seen_spill_threshold,
+            cfg.seen_spill_dir,
+            cfg.seen_max_resident_keys,
         )
         self.politeness_ref = None
         self.strategy = strategy if strategy is not None else CrawlStrategy()
@@ -202,18 +206,21 @@ class Crawler:
             counters.append((-1, "revisited", int(revisited)))
 
         t0 = _t()
-        fetched_ds = fetch_sim(
-            sched, cfg.pages_paths, cfg.assume_canonical_pages
-        ).materialize()
-        stage_sec["fetch"] = round(_t() - t0, 3)
-        if fetched_ds.count():
-            fmeta = fetched_ds.select_columns(
-                ["url", "fp64", "partition", "n_links"]
-            ).to_pandas()
-        else:
-            fmeta = pd.DataFrame(
-                {"url": [], "fp64": [], "partition": [], "n_links": []}
+        fetched_ds = fetch_sim(sched, cfg.pages_paths, cfg.assume_canonical_pages)
+        # ONE pass over the materialized blocks gives fetched-meta AND the
+        # dirty-variant winner set (no separate count()/pairs executions)
+        meta = fetched_ds.select_columns(
+            ["url", "raw_url", "fp64", "partition", "n_links"]
+        ).to_pandas()
+        if meta.empty:  # empty to_pandas may drop the schema columns
+            meta = pd.DataFrame(
+                {"url": [], "raw_url": [], "fp64": [], "partition": [], "n_links": []}
             )
+        winners = winner_raw_urls(meta) if len(meta) else None
+        if winners is not None:
+            meta = meta[meta["raw_url"].isin(winners)]
+        fmeta = meta.drop(columns=["raw_url"]).reset_index(drop=True)
+        stage_sec["fetch"] = round(_t() - t0, 3)
         counters += _per_partition_counts(fmeta, "fetched", epoch)
         hit_mask = np.isin(
             sched["fp64"].to_numpy(dtype=np.uint64),
@@ -277,8 +284,19 @@ class Crawler:
                 for s in self.shards
             ]
         )
+        chain = fetched_ds
+        if winners is not None:
+            win_arr = pa.array(sorted(winners), pa.string())
+            win_ref = ray.put(win_arr)
+
+            def keep_winner(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as _pc
+
+                return t.filter(_pc.is_in(t["raw_url"], value_set=ray.get(win_ref)))
+
+            chain = chain.map_batches(keep_winner, batch_format="pyarrow")
         gate_df = (
-            fetched_ds.map_batches(
+            chain.map_batches(
                 WriteOut(ck.out_dir(epoch), epoch), batch_format="pyarrow"
             )
             .map_batches(

@@ -6,17 +6,27 @@ into the Common-Crawl-style pages table).
 
 Join strategy (SURVEY.md §2.4 J1): the scheduled batch is SMALL by
 construction (≤ P × max_next_requests), so this is the canonical
-**broadcast join**: ``ray.put`` the scheduled url→meta map once, scan ONLY
-the pages partitions that contain scheduled hosts (the pages table is laid
-out as one part file per signed_crc32(host) % n_parts — partition pruning at
-the read), and filter inside map_batches. No shuffle; the scan parallelizes
-over the pruned part files.
+**broadcast join**: ``ray.put`` the scheduled url→meta arrays once, scan
+ONLY the pages partitions that contain scheduled hosts (the pages table is
+laid out as one part file per signed_crc32(host) % n_parts — partition
+pruning at the read), and filter inside map_batches. No shuffle; the scan
+parallelizes over the pruned part files.
+
+Everything in the batch path is Arrow-vectorized (round-2 fix for the
+round-1 per-row membership loop): membership + meta attach are ONE
+``pc.index_in`` against the broadcast url array, and n_links is ONE
+``pc.count_substring_regex`` over the html column. When the pages table
+stores canonical URLs (``assume_canonical``), the URL filter is pushed into
+the parquet scan so non-scheduled rows never enter the object store AND the
+per-batch canonicalization pass is skipped.
 
 Duplicate canonical urls in the pages table (dirty URL variants) are
 resolved deterministically: winner = lexicographically smallest raw url.
+The winner filter is applied by the CALLER (pipelines/crawl.py) from the
+same tiny meta projection it already collects — one less execution barrier.
 
 Output is a Dataset (html stays distributed — never collected to the
-driver); the driver gets only the tiny fetched-fp64 list for state
+driver); the driver gets only the tiny fetched-meta frame for state
 transitions.
 """
 
@@ -32,38 +42,36 @@ import ray.data as rd
 from ..functions.urlnorm import canonicalize_array
 from ..functions.fingerprint import crc32_batch
 
+# counting twin of stages/extract._HREF_RE (re2 syntax, no capture groups)
+_HREF_COUNT_PATTERN = r'(?i)<a\s[^>]*href="[^"#]*(?:#[^"]*)?"'
+
 
 class _FetchFilter:
-    """map_batches callable: canonicalize page urls, keep scheduled ones,
-    attach scheduled meta from the broadcast map."""
+    """map_batches callable: keep scheduled page rows, attach scheduled meta
+    from the broadcast arrays — fully vectorized (index_in + array takes)."""
 
-    def __init__(self, sched_ref):
+    def __init__(self, sched_ref, assume_canonical: bool = False):
         self.sched_ref = sched_ref
-        self._map = None
+        self.assume_canonical = assume_canonical
+        self._s = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._map is None:
-            self._map = ray.get(self.sched_ref)  # once per actor
-        smap = self._map
+        if self._s is None:
+            self._s = ray.get(self.sched_ref)  # once per actor/task
+        s = self._s
         raw = batch["url"]
-        canon = canonicalize_array(raw)
-        keep = np.fromiter(
-            (u in smap for u in canon.to_pylist()), dtype=bool, count=len(canon)
-        )
-        if not keep.any():
+        if isinstance(raw, pa.ChunkedArray):
+            raw = raw.combine_chunks()
+        canon = raw if self.assume_canonical else canonicalize_array(raw)
+        idx = pc.index_in(canon, value_set=s["url"])
+        keep = idx.is_valid()
+        if not pc.any(keep).as_py():
             return _fetched_schema_table()
-        sub = batch.filter(pa.array(keep))
-        canon_sub = canon.filter(pa.array(keep))
-        metas = [smap[u] for u in canon_sub.to_pylist()]
-        fp = pa.array([m[0] for m in metas], pa.uint64())
-        score = pa.array([m[1] for m in metas], pa.float64())
-        depth = pa.array([m[2] for m in metas], pa.int32())
-        part = pa.array([m[3] for m in metas], pa.int32())
-        host = pa.array([m[4] for m in metas], pa.string())
-        from .extract import count_links
-
-        n_links = pa.array(
-            [count_links(h) for h in sub["html"].to_pylist()], pa.int32()
+        sub = batch.filter(keep)
+        canon_sub = canon.filter(keep)
+        ii = idx.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_links = pc.fill_null(
+            pc.count_substring_regex(sub["html"], pattern=_HREF_COUNT_PATTERN), 0
         )
         return pa.table(
             {
@@ -73,12 +81,12 @@ class _FetchFilter:
                 "html": sub["html"],
                 "text": sub["text"],
                 "lang": sub["lang"],
-                "fp64": fp,
-                "score": score,
-                "depth": depth,
-                "partition": part,
-                "host": host,
-                "n_links": n_links,
+                "fp64": pa.array(s["fp64"][ii], pa.uint64()),
+                "score": pa.array(s["score"][ii], pa.float64()),
+                "depth": pa.array(s["depth"][ii], pa.int32()),
+                "partition": pa.array(s["partition"][ii], pa.int32()),
+                "host": pc.take(s["host"], pa.array(ii)),
+                "n_links": pc.cast(n_links, pa.int32()),
             }
         )
 
@@ -102,54 +110,55 @@ def _fetched_schema_table() -> pa.Table:
     ).empty_table()
 
 
+def fetched_empty() -> pa.Table:
+    """Empty table in the fetched schema (incl. raw_url)."""
+    return _fetched_schema_table()
+
+
 def fetch_sim(
     scheduled: pd.DataFrame, pages_paths: list[str], assume_canonical: bool = False
 ):
     """scheduled (driver df with url/fp64/score/depth/partition/host) →
-    fetched MATERIALIZED Dataset (see _FetchFilter output schema, minus
-    raw_url). Bounded by the politeness budget, so materializing is safe.
-
-    Dirty-variant collisions (two raw page rows canonicalizing to one url)
-    are resolved without a shuffle: the (url, raw_url) projection is tiny
-    (≤ budget rows), so the winner per url (min raw_url) is computed on the
-    driver and applied as a broadcast filter."""
+    fetched MATERIALIZED Dataset (see _FetchFilter output schema, INCLUDING
+    raw_url — the caller resolves dirty-variant winners from its meta
+    projection and drops the column). Bounded by the politeness budget, so
+    materializing is safe."""
     n_parts = len(pages_paths)
     # prune: only pages parts whose host-partition appears in the batch
     hh = crc32_batch(scheduled["host"].tolist())
     needed = sorted(set(int(p) for p in (hh % n_parts)))
     paths = [pages_paths[p] for p in needed]
-    smap = {
-        r.url: (int(r.fp64), float(r.score), int(r.depth), int(r.partition), r.host)
-        for r in scheduled.itertuples()
-    }
-    sched_ref = ray.put(smap)
+    urls = scheduled["url"].tolist()
+    sched_ref = ray.put(
+        {
+            "url": pa.array(urls, pa.string()),
+            "fp64": scheduled["fp64"].to_numpy(dtype=np.uint64),
+            "score": scheduled["score"].to_numpy(dtype=np.float64),
+            "depth": scheduled["depth"].to_numpy(dtype=np.int32),
+            "partition": scheduled["partition"].to_numpy(dtype=np.int32),
+            "host": pa.array(scheduled["host"].tolist(), pa.string()),
+        }
+    )
     if assume_canonical:
         # predicate pushdown: the scan emits ONLY scheduled rows — html of
         # the other 95%+ never enters the object store, and the remaining
         # decode work parallelizes across part files
-        expr = pc.field("url").isin(list(smap.keys()))
+        expr = pc.field("url").isin(urls)
         ds = rd.read_parquet(paths, filter=expr)
     else:
         ds = rd.read_parquet(paths)
-    ds = ds.map_batches(_FetchFilter(sched_ref), batch_format="pyarrow").materialize()
-    if ds.count() == 0:
-        return rd.from_arrow(_fetched_schema_table().drop_columns(["raw_url"]))
-    pairs = ds.select_columns(["url", "raw_url"]).to_pandas()
-    if pairs["url"].duplicated().any():
-        winners = set(
-            pairs.sort_values(["url", "raw_url"], kind="mergesort")
-            .drop_duplicates("url", keep="first")["raw_url"]
-        )
-        win_ref = ray.put(winners)
+    return ds.map_batches(
+        _FetchFilter(sched_ref, assume_canonical), batch_format="pyarrow"
+    ).materialize()
 
-        def keep_winner(t: pa.Table) -> pa.Table:
-            w = ray.get(win_ref)
-            mask = np.fromiter(
-                (r in w for r in t["raw_url"].to_pylist()),
-                dtype=bool,
-                count=t.num_rows,
-            )
-            return t.filter(pa.array(mask))
 
-        ds = ds.map_batches(keep_winner, batch_format="pyarrow")
-    return ds.drop_columns(["raw_url"])
+def winner_raw_urls(meta: pd.DataFrame) -> set | None:
+    """Dirty-variant resolution over the tiny fetched-meta frame: for each
+    canonical url keep the lexicographically smallest raw_url. Returns None
+    when there are no collisions (the common case — skip the filter)."""
+    if not meta["url"].duplicated().any():
+        return None
+    return set(
+        meta.sort_values(["url", "raw_url"], kind="mergesort")
+        .drop_duplicates("url", keep="first")["raw_url"]
+    )

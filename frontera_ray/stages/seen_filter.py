@@ -24,12 +24,18 @@ from ..state.seen import SeenShard
 
 
 def make_seen_pool(
-    num_shards: int, capacity: int, spill_threshold: int = 1 << 22
+    num_shards: int,
+    capacity: int,
+    spill_threshold: int = 1 << 22,
+    spill_dir: str | None = None,
+    max_resident_keys: int = 1 << 26,
 ) -> list:
     """K seen-shard actors, one per host partition."""
     RemoteShard = ray.remote(SeenShard)
     return [
-        RemoteShard.options(max_restarts=1).remote(i, capacity, spill_threshold)
+        RemoteShard.options(max_restarts=1).remote(
+            i, capacity, spill_threshold, spill_dir, max_resident_keys
+        )
         for i in range(num_shards)
     ]
 

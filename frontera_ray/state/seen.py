@@ -10,26 +10,29 @@ partition) … partitioned by hash(host)"):
   the scheduler and politeness stages use, so one key co-locates all
   per-host state (reference parity: Crc32NamePartitioner on the spider feed).
 * Each shard: a **cuckoo filter** as the approximate front (answers the
-  "definitely new" fast path with one vectorized probe), an **exact uint64
-  set** as the authoritative store behind it (confirms filter positives →
-  zero false drops, required for seen-set parity with the reference), and a
+  "definitely new" fast path with one vectorized probe), an **exact store**
+  as the authoritative layer behind it (confirms filter positives → zero
+  false drops, required for seen-set parity with the reference), and a
   **bloom filter fallback** that takes over inserts if the cuckoo filter
   saturates.
+* The exact store is fully array-backed (round-2 rewrite — no per-key
+  Python loops anywhere): a sorted uint64 "hot" array + small unsorted
+  tail buffers (merged in when they exceed ``_TAIL_MAX``), frozen sorted
+  runs past ``spill_threshold``, and optionally **disk-spilled runs**
+  (sorted uint64 .npy files probed via memory-mapped searchsorted) past
+  ``max_resident_keys`` — the 10^10-URL path where the actor heap stops
+  being the ceiling. Membership anywhere is vectorized searchsorted/isin.
 * All calls are batch-vectorized; an actor round-trip carries one numpy
   array per shard per epoch, not per URL.
 * ``dump()/restore()`` are byte-stable → the whole seen-set checkpoints to
   one blob per shard per epoch and the crawl resumes exactly (north rule).
-
-Scale notes (10^10 URLs): the exact set is the memory ceiling — at K=256
-shards each holds ~40M keys ≈ 320 MB as a numpy array, which fits; past
-that, shards spill the exact store to sorted parquet runs and the cuckoo
-filter (0.01% FP) gates how often the spill is consulted. The filter itself
-is 2 bytes/key. Actor restart recovers from the last checkpoint blob
-(idempotent epoch replay re-adds at most one epoch of keys).
+  (At 10^10 keys the checkpoint would reference the immutable spill files
+  instead of inlining them — documented scale path, not needed here.)
 """
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -38,6 +41,14 @@ from .cuckoo import CuckooFilter
 from .bloom import BloomFilter
 
 _MAGIC = b"SEEN"
+_TAIL_MAX = 1 << 16
+
+
+def _sorted_contains(sorted_arr: np.ndarray, fps: np.ndarray) -> np.ndarray:
+    if len(sorted_arr) == 0:
+        return np.zeros(len(fps), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_arr, fps), len(sorted_arr) - 1)
+    return sorted_arr[idx] == fps
 
 
 class SeenShard:
@@ -45,38 +56,100 @@ class SeenShard:
     the pipeline (so tests can exercise it without a cluster)."""
 
     def __init__(
-        self, shard_id: int, capacity: int = 1 << 20, spill_threshold: int = 1 << 22
+        self,
+        shard_id: int,
+        capacity: int = 1 << 20,
+        spill_threshold: int = 1 << 22,
+        spill_dir: str | None = None,
+        max_resident_keys: int = 1 << 26,
     ):
         self.shard_id = shard_id
         self.capacity = capacity
         self.cuckoo = CuckooFilter(capacity, seed=shard_id)
         self.bloom: BloomFilter | None = None
-        # authoritative store = hot set + frozen sorted runs (8 B/key vs
-        # ~60 B/key for set entries — the 10^10-scale memory path; runs are
-        # disjoint by construction since membership is checked before add)
-        self.exact: set[int] = set()
+        # authoritative store = sorted hot array + unsorted tail buffers +
+        # frozen sorted runs (8 B/key; runs are disjoint by construction
+        # since membership is checked before add) + optional disk runs
+        self.hot = np.zeros(0, dtype=np.uint64)
+        self.tails: list[np.ndarray] = []
+        self.tail_n = 0
         self.runs: list[np.ndarray] = []
         self.spill_threshold = spill_threshold
+        self.spill_dir = spill_dir
+        self.max_resident_keys = max_resident_keys
+        self._spill_seq = 0
 
-    # -- frozen-run helpers ---------------------------------------------
+    # -- array-store helpers --------------------------------------------
     def _runs_contains(self, fps: np.ndarray) -> np.ndarray:
         out = np.zeros(len(fps), dtype=bool)
         for run in self.runs:
-            idx = np.minimum(np.searchsorted(run, fps), len(run) - 1)
-            out |= run[idx] == fps
+            out |= _sorted_contains(run, fps)
         return out
 
-    def _maybe_spill(self) -> None:
-        if len(self.exact) <= self.spill_threshold:
+    def _exact_contains(self, fps: np.ndarray) -> np.ndarray:
+        """Vectorized membership in the authoritative store."""
+        out = _sorted_contains(self.hot, fps)
+        for t in self.tails:
+            out |= np.isin(fps, t)
+        if self.runs:
+            out |= self._runs_contains(fps)
+        return out
+
+    def _absorb_tails(self) -> None:
+        if not self.tails:
             return
-        arr = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
-        arr.sort()
-        self.runs.append(arr)
-        self.exact = set()
-        if len(self.runs) > 4:  # bound probe cost: compact to one run
-            merged = np.concatenate(self.runs)
+        self.hot = np.concatenate([self.hot, *self.tails])
+        self.hot.sort()
+        self.tails = []
+        self.tail_n = 0
+
+    def _append_new(self, arr: np.ndarray) -> None:
+        """Insert keys known to be absent (disjointness invariant)."""
+        self.tails.append(arr)
+        self.tail_n += len(arr)
+        if self.tail_n > _TAIL_MAX:
+            self._absorb_tails()
+        self._maybe_spill()
+
+    def _maybe_spill(self) -> None:
+        if len(self.hot) + self.tail_n <= self.spill_threshold:
+            return
+        self._absorb_tails()
+        self.runs.append(self.hot)
+        self.hot = np.zeros(0, dtype=np.uint64)
+        ram = [r for r in self.runs if not isinstance(r, np.memmap)]
+        disk = [r for r in self.runs if isinstance(r, np.memmap)]
+        if len(ram) > 4:  # bound probe cost: compact RAM runs to one
+            merged = np.concatenate(ram)
             merged.sort()
-            self.runs = [merged]
+            ram = [merged]
+        if (
+            self.spill_dir is not None
+            and sum(len(r) for r in ram) > self.max_resident_keys
+        ):
+            # spill the merged resident keys to one immutable sorted .npy
+            # (binary-searchable via mmap — no decode on probe, O(log n)
+            # page touches; parquet would force row-group decodes instead)
+            merged = np.concatenate(ram) if len(ram) > 1 else ram[0]
+            merged.sort()
+            os.makedirs(self.spill_dir, exist_ok=True)
+            path = os.path.join(
+                self.spill_dir, f"run-{self.shard_id}-{self._spill_seq:06d}.npy"
+            )
+            self._spill_seq += 1
+            np.save(path, merged)
+            disk.append(np.load(path, mmap_mode="r"))
+            ram = []
+        if len(disk) > 8:  # bound disk-probe fan-out
+            merged = np.concatenate([np.asarray(d) for d in disk])
+            merged.sort()
+            path = os.path.join(
+                self.spill_dir, f"run-{self.shard_id}-{self._spill_seq:06d}.npy"
+            )
+            self._spill_seq += 1
+            np.save(path, merged)
+            disk = [np.load(path, mmap_mode="r")]
+        self.runs = ram + disk
 
     # -- core op: test-and-set, vectorized ------------------------------
     def add_if_new(self, fps: np.ndarray) -> np.ndarray:
@@ -84,43 +157,38 @@ class SeenShard:
         seen). Duplicates *within* the batch: first occurrence wins.
 
         Exactness: the cuckoo/bloom filters short-circuit only the negative
-        path; any filter hit is confirmed against the exact set, so the
-        result has neither false drops nor false admits.
+        path; any filter hit is confirmed against the exact store, so the
+        result has neither false drops nor false admits. Fully vectorized
+        (np.unique in-batch dedup + searchsorted membership).
         """
         fps = np.asarray(fps, dtype=np.uint64)
         n = len(fps)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        maybe = self.cuckoo.contains_batch(fps)
+        uniq, first_idx = np.unique(fps, return_index=True)
+        maybe = self.cuckoo.contains_batch(uniq)
         if self.bloom is not None:
-            maybe |= self.bloom.contains_batch(fps)
+            maybe |= self.bloom.contains_batch(uniq)
+        seen = np.zeros(len(uniq), dtype=bool)
+        if maybe.any():
+            mi = np.where(maybe)[0]
+            seen[mi] = self._exact_contains(uniq[mi])
+        new_uniq = uniq[~seen]
         new = np.zeros(n, dtype=bool)
-        exact = self.exact
-        run_hit = self._runs_contains(fps) if self.runs else None
-        # definitely-new fast path still needs in-batch dedup
-        batch_seen: set[int] = set()
-        for i in range(n):
-            k = int(fps[i])
-            if maybe[i]:
-                if k in exact or (run_hit is not None and run_hit[i]):
-                    continue
-            elif k in batch_seen:
-                continue
-            # new key
-            new[i] = True
-            batch_seen.add(k)
-            exact.add(k)
-        if batch_seen:
-            arr = np.fromiter(batch_seen, dtype=np.uint64, count=len(batch_seen))
+        new[first_idx[~seen]] = True
+        if len(new_uniq):
+            self._append_new(new_uniq)
             # cuckoo until capacity; once full, freeze it and route new keys
             # to the bloom fallback (north rule: bloom fallback per partition)
-            if self.bloom is None and self.cuckoo.count + len(arr) <= self.capacity:
-                self.cuckoo.add_batch(arr)
+            if (
+                self.bloom is None
+                and self.cuckoo.count + len(new_uniq) <= self.capacity
+            ):
+                self.cuckoo.add_batch(new_uniq)
             else:
                 if self.bloom is None:
                     self.bloom = BloomFilter(self.capacity * 4)
-                self.bloom.add_batch(arr)
-        self._maybe_spill()
+                self.bloom.add_batch(new_uniq)
         return new
 
     # -- epoch-synchronous candidate resolution (offer/resolve protocol) --
@@ -135,30 +203,39 @@ class SeenShard:
     # worker owning the state cache (frontera/worker/strategy.py, approx
     # cite — SURVEY.md §0).
 
-    def begin_epoch(self, epoch: int, policy: str, num_partitions: int) -> None:
-        self.pending: dict[int, tuple[str, float]] = {}
+    def begin_epoch(
+        self, epoch: int, policy: str, num_partitions: int, mode: str = "links"
+    ) -> None:
+        """mode="links": cash is OPIC contribution (summed over edges).
+        mode="seeds": cash is the seed-file score (max over duplicates) and
+        becomes the row score verbatim under EVERY policy — distributed
+        seed init routes through the same protocol."""
+        self.pending_frames: list = []
         self._epoch = epoch
         self._policy = policy
         self._np = num_partitions
+        self._mode = mode
 
     def offer(self, fps: np.ndarray, keys: list[str], cash: np.ndarray) -> int:
-        """Accumulate candidate edges for unseen fps; returns #accepted."""
-        pending = self.pending
-        exact = self.exact
+        """Accumulate candidate edges for unseen fps; returns #accepted.
+        Vectorized: one membership probe + one frame append per call."""
+        import pandas as pd
+
         fps = np.asarray(fps, dtype=np.uint64)
-        run_hit = self._runs_contains(fps) if self.runs else None
-        n = 0
-        for i in range(len(fps)):
-            fp = int(fps[i])
-            if fp in exact or (run_hit is not None and run_hit[i]):
-                continue
-            n += 1
-            cur = pending.get(fp)
-            if cur is None:
-                pending[fp] = (keys[i], float(cash[i]))
-            else:
-                k = keys[i] if keys[i] < cur[0] else cur[0]
-                pending[fp] = (k, cur[1] + float(cash[i]))
+        if len(fps) == 0:
+            return 0
+        unseen = ~self._exact_contains(fps)
+        n = int(unseen.sum())
+        if n:
+            self.pending_frames.append(
+                pd.DataFrame(
+                    {
+                        "fp64": fps[unseen],
+                        "key": np.asarray(keys, dtype=object)[unseen],
+                        "cash": np.asarray(cash, dtype=np.float64)[unseen],
+                    }
+                )
+            )
         return n
 
     def resolve(self, out_path: str, seen_path: str | None = None) -> dict:
@@ -166,35 +243,35 @@ class SeenShard:
         delta at out_path (omitted if empty). Also checkpoints this shard's
         seen blob to seen_path (shard-side, parallel across the pool — the
         driver never serializes filter state). Returns per-partition counts."""
+        import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from ..stages.enrich import enrich_urls
         from .. import schema as S
 
-        pending = self.pending
-        if not pending:
+        frames = self.pending_frames
+        if not frames:
             if seen_path is not None:
                 with open(seen_path, "wb") as f:
                     f.write(self.dump())
             return {"count": 0, "per_partition": {}, "path": None}
-        fps = np.fromiter(pending.keys(), dtype=np.uint64, count=len(pending))
-        order = np.argsort(fps, kind="stable")
-        fps = fps[order]
-        items = [pending[int(f)] for f in fps]
-        n = len(items)
-        depths = np.empty(n, dtype=np.int32)
-        parents = np.empty(n, dtype=np.uint64)
-        urls: list[str] = [""] * n
-        cash = np.empty(n, dtype=np.float64)
-        for i, (k, c) in enumerate(items):
-            d, p, u = k.split("|", 2)
-            depths[i] = int(d)
-            parents[i] = int(p, 16)
-            urls[i] = u
-            cash[i] = c
+        df = pd.concat(frames, ignore_index=True)
+        cash_agg = "max" if self._mode == "seeds" else "sum"
+        # min(key)/sum-or-max(cash) are order-independent ⇒ the admitted
+        # winners are identical under any batch arrival order; groupby
+        # sorts the unique fps, giving the deterministic row order.
+        agg = df.groupby("fp64", sort=True).agg(
+            key=("key", "min"), cash=("cash", cash_agg)
+        )
+        n = len(agg)
+        keysplit = agg["key"].str.split("|", n=2, expand=True)
+        depths = keysplit[0].astype(np.int32).to_numpy()
+        parents = np.array([int(p, 16) for p in keysplit[1]], dtype=np.uint64)
+        urls = keysplit[2].tolist()
+        cash = agg["cash"].to_numpy(dtype=np.float64)
         t = enrich_urls(pa.table({"url": pa.array(urls, pa.string())}), self._np)
-        if self._policy == "opic":
+        if self._policy == "opic" or self._mode == "seeds":
             score = cash
         else:
             score = 1.0 / (depths.astype(np.float64) + 1.0)
@@ -219,14 +296,14 @@ class SeenShard:
         ).cast(S.FRONTIER)
         pq.write_table(tbl, out_path)
         # mark seen
-        self.add_if_new(fps)
+        self.add_if_new(agg.index.to_numpy(dtype=np.uint64))
         if seen_path is not None:
             with open(seen_path, "wb") as f:
                 f.write(self.dump())
         parts, counts = np.unique(
             t["partition"].to_numpy(zero_copy_only=False), return_counts=True
         )
-        self.pending = {}
+        self.pending_frames = []
         return {
             "count": n,
             "per_partition": {int(p): int(c) for p, c in zip(parts, counts)},
@@ -235,20 +312,14 @@ class SeenShard:
 
     def contains(self, fps: np.ndarray) -> np.ndarray:
         fps = np.asarray(fps, dtype=np.uint64)
-        out = np.fromiter(
-            (int(k) in self.exact for k in fps), dtype=bool, count=len(fps)
-        )
-        if self.runs:
-            out |= self._runs_contains(fps)
-        return out
+        return self._exact_contains(fps)
 
     def size(self) -> int:
-        return len(self.exact) + sum(len(r) for r in self.runs)
+        return len(self.hot) + self.tail_n + sum(len(r) for r in self.runs)
 
     def keys(self) -> np.ndarray:
         """Sorted uint64 fingerprints (parity-check boundary)."""
-        parts = [np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))]
-        parts.extend(self.runs)
+        parts = [self.hot, *self.tails] + [np.asarray(r) for r in self.runs]
         allk = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
         allk.sort()
         return allk
@@ -256,8 +327,8 @@ class SeenShard:
     # -- checkpoint ------------------------------------------------------
     def dump(self) -> bytes:
         """Byte-stable: one sorted uint64 array regardless of the internal
-        hot-set/frozen-run split (spill state is an implementation detail,
-        not checkpoint content)."""
+        hot/tail/frozen-run/disk split (spill state is an implementation
+        detail, not checkpoint content)."""
         ck = self.cuckoo.dump()
         bl = self.bloom.dump() if self.bloom is not None else b""
         exact = self.keys()
@@ -278,11 +349,16 @@ class SeenShard:
         off += nck
         obj.bloom = BloomFilter.restore(data[off : off + nbl]) if nbl else None
         off += nbl
-        # restore into ONE frozen run (8 B/key) — no hot-set rebuild
+        # restore into ONE frozen run (8 B/key) — no hot-array rebuild
         arr = np.frombuffer(data, dtype=np.uint64, count=nex, offset=off).copy()
-        obj.exact = set()
+        obj.hot = np.zeros(0, dtype=np.uint64)
+        obj.tails = []
+        obj.tail_n = 0
         obj.runs = [arr] if len(arr) else []
         obj.spill_threshold = 1 << 22
+        obj.spill_dir = None
+        obj.max_resident_keys = 1 << 26
+        obj._spill_seq = 0
         return obj
 
     # remote-friendly restore-in-place (actor method)
@@ -292,7 +368,8 @@ class SeenShard:
         self.capacity = other.capacity
         self.cuckoo = other.cuckoo
         self.bloom = other.bloom
-        self.exact = other.exact
+        self.hot = other.hot
+        self.tails = other.tails
+        self.tail_n = other.tail_n
         self.runs = other.runs
-        self.spill_threshold = other.spill_threshold
         return self.size()

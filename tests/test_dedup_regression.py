@@ -1,0 +1,63 @@
+"""Round-2 regression: the DISTRIBUTED LSH pair generation (explode →
+bounded-cardinality groupby → per-bucket vectorized verify) must produce
+byte-identical tables to the round-1 driver-side implementation, whose
+outputs at sf0.01 are snapshotted in tests/data/ (VERDICT.md next-round #2).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from frontera_ray.ops import dedup
+
+SF = "/root/testdata/sf0.01"
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _expect(name: str) -> pa.Table:
+    return pq.read_table(os.path.join(DATA, f"r1_{name}_sf001.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_pairs_byte_identical():
+    got = dedup.minhash_lsh_pairs(SF)
+    assert got.equals(_expect("minhash_lsh_pairs"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pairs_byte_identical_at_round1_params():
+    # round 1 ran max_hamming=8 with a 256 hot-bucket cap; the new default
+    # is (7, no cap) — exact under the 8-chunk pigeonhole bound + oracled
+    got = dedup.simhash_pairs(SF, max_hamming=8, bucket_cap=256)
+    assert got.equals(_expect("simhash_pairs"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_pairs_byte_identical():
+    got = dedup.ngram_jaccard_pairs(SF)
+    assert got.equals(_expect("ngram_jaccard_pairs"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_default_is_superset_of_capped():
+    """Sanity: dropping the cap + tightening the radius keeps every pair a
+    true ≤7-hamming pair and finds ALL of them (cross-checked brute force)."""
+    import numpy as np
+
+    got = dedup.simhash_pairs(SF).to_pandas()
+    sig = dedup.simhash_signatures(SF).to_pandas()
+    vals = sig["simhash"].map(lambda h: int(h, 16)).to_numpy(dtype=np.uint64)
+    ids = sig["doc_id"].to_numpy()
+    order = np.argsort(ids)
+    ids, vals = ids[order], vals[order]
+    n = len(ids)
+    iu = np.triu_indices(n, k=1)
+    d = dedup._hamming64(vals[iu[0]], vals[iu[1]])
+    ok = d <= 7
+    brute = sorted(
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])), int(dd))
+        for i, j, dd in zip(iu[0][ok], iu[1][ok], d[ok])
+    )
+    assert [tuple(r) for r in got.to_numpy()] == brute

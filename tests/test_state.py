@@ -144,3 +144,55 @@ class TestSeenShard:
             sh.add_if_new(keys(150, seed + 10))
         assert len(sh.runs) <= 5
         assert sh.size() == 12 * 150
+
+
+class TestSeenShardDiskSpill:
+    """Round-2 (VERDICT #8): exact store spills sorted runs to disk past a
+    memory budget; probes stay exact via memmapped searchsorted."""
+
+    def test_disk_spill_exact_and_byte_stable(self, tmp_path):
+        sh = SeenShard(
+            1,
+            capacity=1 << 14,
+            spill_threshold=200,
+            spill_dir=str(tmp_path),
+            max_resident_keys=300,
+        )
+        batches = [keys(150, seed=100 + i) for i in range(10)]
+        for b in batches:
+            assert sh.add_if_new(b).all()
+        import os
+
+        assert any(f.endswith(".npy") for f in os.listdir(tmp_path)), "no disk run"
+        assert any(isinstance(r, np.memmap) for r in sh.runs)
+        for b in batches:  # everything still seen, incl. disk-resident keys
+            assert not sh.add_if_new(b).any()
+            assert sh.contains(b).all()
+        assert sh.size() == 1500
+        blob = sh.dump()
+        sh2 = SeenShard.restore(blob)
+        assert sh2.size() == 1500
+        for b in batches:
+            assert not sh2.add_if_new(b).any()
+        assert sh2.dump() == blob
+
+    def test_disk_spill_property_parity(self, tmp_path):
+        """Property: a spilling shard answers identically to a plain one
+        under a deterministic interleaved workload with duplicates."""
+        a = SeenShard(0, capacity=1 << 14)
+        b = SeenShard(
+            0,
+            capacity=1 << 14,
+            spill_threshold=64,
+            spill_dir=str(tmp_path),
+            max_resident_keys=100,
+        )
+        rng = np.random.default_rng(7)
+        pool = keys(2000, seed=55)
+        for _ in range(30):
+            batch = rng.choice(pool, size=200, replace=True).astype(np.uint64)
+            ra, rb = a.add_if_new(batch.copy()), b.add_if_new(batch.copy())
+            assert (ra == rb).all()
+        assert a.size() == b.size()
+        assert (a.keys() == b.keys()).all()
+        assert a.dump() == b.dump()
