@@ -8,7 +8,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
-POLICIES = ("bfs", "dfs", "basic", "opic", "fifo", "random")
+POLICIES = ("bfs", "dfs", "basic", "opic", "fifo", "lifo", "random")
 
 
 @dataclass

@@ -1,12 +1,13 @@
 """Temporal joins and sessionization — the custom-operator tier the task
-brief calls out (as-of join, windowed/session aggregates) expressed as
-bucketed map_groups over sorted groups (ray_guide.md streaming-shaped
-pattern; no event-time runtime needed because inputs are bounded tables).
+brief calls out (as-of join, windowed/session aggregates).
 
-Partitioning assumption (documented per the brief): both operators shuffle
-by the entity key (user_id) once and sort within group by ts — at 10^10
-rows the same shape holds with the key bucketed by hash and
-`pd.merge_asof` / vectorized gap-cumsum per bucket.
+Round-2 shape (VERDICT.md #3): the entity key (user_id) is HASH-BUCKETED
+into a bounded number of groups (≤ _BUCKETS — never one Python call per
+user), and each bucket is processed with ONE vectorized kernel:
+``pd.merge_asof(..., by=user_id)`` for the as-of join, sorted diff/cumsum
+for sessions. The same shape holds at 10^10 rows: one shuffle on the
+bucket key, per-bucket work linear and vectorized, the small side
+(orders) broadcast once as a dict of per-bucket frames.
 """
 
 from __future__ import annotations
@@ -16,74 +17,114 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+_BUCKETS = 64
+
 
 def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _with_bucket(ds, key: str):
+    def add(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(k % _BUCKETS, pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
 def asof_join(sf_dir: str):
     """For each event: the most recent order of the same customer at or
-    before the event time (ASOF JOIN semantics, inner). Small side
-    (orders-per-user) travels with the group — ONE shuffle on user_id.
+    before the event time (ASOF JOIN semantics, inner). ONE shuffle on the
+    hash-bucketed user key; within each bucket a single ``pd.merge_asof``
+    with ``by=`` does every user at once. The orders side is broadcast
+    once (ray.put) pre-partitioned into per-bucket frames, so each group
+    touches only its own slice.
 
     Oracle: DuckDB `ASOF JOIN` (events.user_id = orders.o_custkey,
     events.ts >= orders.o_orderdate)."""
+    import ray
+
     events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
     orders = pd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
-    import ray
+    ).sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+    # ties on o_orderdate: ASOF picks ONE row per event — deterministic,
+    # oracle-matchable winner = max orderkey per (custkey, orderdate)
+    orders = orders.groupby(["o_custkey", "o_orderdate"], as_index=False).last()
+    buckets = {
+        int(b): g.sort_values(["o_orderdate", "o_custkey"], kind="mergesort")
+        for b, g in orders.groupby(orders["o_custkey"].to_numpy() % _BUCKETS)
+    }
+    orders_ref = ray.put(buckets)
 
-    orders_ref = ray.put(orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]))
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        od = ray.get(orders_ref)
-        uid = int(g["user_id"].iloc[0])
-        mine = od[od["o_custkey"] == uid]
-        if mine.empty:
-            return pd.DataFrame(
-                {"event_id": [], "user_id": [], "o_orderkey": []}
-            ).astype({"event_id": np.int64, "user_id": np.int64, "o_orderkey": np.int64})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": np.zeros(0, np.int64),
+                "user_id": np.zeros(0, np.int64),
+                "o_orderkey": np.zeros(0, np.int64),
+            }
+        )
+        od = ray.get(orders_ref).get(int(g["bucket"].iloc[0]))
+        if od is None:
+            return empty
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        # ties on o_orderdate: ASOF picks ONE row per event — make the
-        # winner deterministic and oracle-matchable by keeping the max
-        # orderkey per orderdate (duckdb ASOF keeps the last by its sort)
-        mine = mine.groupby("o_orderdate", as_index=False).last()
         m = pd.merge_asof(
             g,
-            mine[["o_orderdate", "o_orderkey"]],
+            od[["o_orderdate", "o_custkey", "o_orderkey"]],
             left_on="ts",
             right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
             direction="backward",
-        )
-        m = m.dropna(subset=["o_orderkey"])
+        ).dropna(subset=["o_orderkey"])
         return pd.DataFrame(
             {
                 "event_id": m["event_id"].astype(np.int64),
-                "user_id": np.int64(uid),
+                "user_id": m["user_id"].astype(np.int64),
                 "o_orderkey": m["o_orderkey"].astype(np.int64),
             }
         )
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        _with_bucket(events, "user_id")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session counts per user: a new session starts when the gap since the
-    previous event exceeds `gap_minutes` (classic sessionization; vectorized
-    diff+cumsum per sorted group). Oracle: window lag + conditional sum."""
+    previous event exceeds `gap_minutes` (classic sessionization). One
+    shuffle on the hash-bucketed user key; within each bucket the whole
+    computation is a sorted diff over (user_id, ts) + two groupby
+    aggregations — no per-user Python. Oracle: window lag + conditional sum."""
     events = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values(kind="mergesort").to_numpy()
-        breaks = int((np.diff(ts) > gap).sum())
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        same_user = np.zeros(len(g), dtype=bool)
+        same_user[1:] = uid[1:] == uid[:-1]
+        brk = np.zeros(len(g), dtype=np.int64)
+        brk[1:] = ((ts[1:] - ts[:-1]) > gap).astype(np.int64)
+        brk[~same_user] = 0
+        out = pd.DataFrame({"user_id": uid, "brk": brk})
+        agg = out.groupby("user_id", sort=True).agg(
+            n_events=("brk", "size"), breaks=("brk", "sum")
+        )
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(ts)],
-                "n_sessions": [breaks + 1],
+                "user_id": agg.index.to_numpy().astype(np.int64),
+                "n_events": agg["n_events"].to_numpy().astype(np.int64),
+                "n_sessions": (agg["breaks"] + 1).to_numpy().astype(np.int64),
             }
         )
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        _with_bucket(events, "user_id")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -52,6 +52,8 @@ def _policy_key(row: _Row, policy: str, seed: int):
         return (-row.depth, row.disc_epoch, row.fp)
     if policy == "fifo":
         return (row.disc_epoch, row.fp)
+    if policy == "lifo":
+        return (-row.disc_epoch, row.fp)
     if policy == "random":
         rk = int(splitmix64(np.array([row.fp], dtype=np.uint64) ^ np.uint64(seed))[0])
         return (rk, row.fp)

@@ -30,6 +30,12 @@ POLICY_KEYS: dict[str, list[tuple[str, bool]]] = {
     "bfs": [("depth", True), ("discovered_epoch", True), ("fp64", True)],
     "dfs": [("depth", False), ("discovered_epoch", True), ("fp64", True)],
     "fifo": [("discovered_epoch", True), ("fp64", True)],
+    # LIFO (reference memory-backend variant, SURVEY §2.6 O4): most recently
+    # discovered first. A Ray pipeline has no per-row insertion sequence
+    # (admission is an order-independent set union per epoch), so recency =
+    # discovered_epoch desc with the fp64 total-order tiebreak inside an
+    # epoch — the deterministic analogue of the reference's stack pop.
+    "lifo": [("discovered_epoch", False), ("fp64", True)],
     "random": [("rand_key", True), ("fp64", True)],
 }
 

@@ -70,7 +70,7 @@ def pages_text(fixture_dir):
 
 @pytest.mark.parametrize(
     "policy,max_epochs",
-    [("bfs", 30), ("dfs", 6), ("opic", 6), ("fifo", 5), ("random", 5), ("basic", 5)],
+    [("bfs", 30), ("dfs", 6), ("opic", 6), ("fifo", 5), ("lifo", 5), ("random", 5), ("basic", 5)],
 )
 def test_policy_parity(ray_session, fixture_dir, pages_text, tmp_path, policy, max_epochs):
     cfg = _cfg(fixture_dir, str(tmp_path / f"ck_{policy}"), policy, max_epochs)
