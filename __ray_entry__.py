@@ -130,6 +130,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_SIMHASH_SIG_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+    "h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM toks), "
+    "bits AS (SELECT doc_id, b.b AS bit, "
+    "CASE WHEN sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    "THEN 1::UBIGINT ELSE 0::UBIGINT END AS val "
+    "FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b "
+    "GROUP BY doc_id, b.b) "
+    "SELECT doc_id, lpad(lower(hex(sum(val << bit)::UBIGINT)), 16, '0') AS simhash "
+    "FROM bits GROUP BY doc_id"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = "('the','a','to','of','and')"
     return {
@@ -194,6 +207,47 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
+        ),
+        # 64-bit SimHash in SQL: per-token md5-derived uint64, ±1 bit votes,
+        # sign → bit (mirrors ops/dedup.simhash_signatures exactly)
+        "simhash_signatures": _SIMHASH_SIG_SQL,
+        # all-pairs bit_count(xor) ≤ 7 — the engine's 8-chunk pigeonhole
+        # candidate generation is EXACT at radius ≤ 7, so the quadratic SQL
+        # oracle and the distributed LSH path must agree verbatim
+        "simhash_pairs": (
+            f"WITH sig AS ({_SIMHASH_SIG_SQL}) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "bit_count(xor(('0x'||a.simhash)::UBIGINT, ('0x'||b.simhash)::UBIGINT))::BIGINT AS hamming "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(('0x'||a.simhash)::UBIGINT, ('0x'||b.simhash)::UBIGINT)) <= 7"
+        ),
+        # the n-gram/stopword-marker language-ID heuristic, verbatim:
+        # distinct first-200 lowered tokens ∩ per-language marker sets,
+        # argmax with de<en<fr scan order ties (ops/text.LangIdStage)
+        "lang_id": (
+            "WITH w AS (SELECT doc_id, "
+            "list_distinct(string_split(lower(text), ' ')[1:200]) AS ws FROM documents), "
+            "c AS (SELECT doc_id, "
+            "len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is'))) AS n_en, "
+            "len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht'))) AS n_de, "
+            "len(list_filter(ws, x -> x IN ('le','la','les','et','est','une'))) AS n_fr FROM w) "
+            "SELECT doc_id, CASE "
+            "WHEN n_de > 0 AND n_en <= n_de AND n_fr <= n_de THEN 'de' "
+            "WHEN n_en > 0 AND n_en > n_de AND n_fr <= n_en THEN 'en' "
+            "WHEN n_fr > 0 AND n_fr > n_de AND n_fr > n_en THEN 'fr' "
+            "ELSE 'unk' END AS lang_pred FROM c"
+        ),
+        # winnowing-style fingerprints: 4-token windows, md5-derived uint64,
+        # keep ≡ 0 (mod 8), count + min-hex (ops/text.doc_fingerprints)
+        "doc_fingerprints": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "hs AS (SELECT doc_id, list_filter("
+            "list_transform(generate_series(1, len(toks) - 3), "
+            "i -> ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 16))::UBIGINT), "
+            "h -> h % 8 = 0) AS sel FROM t) "
+            "SELECT doc_id, len(sel)::BIGINT AS n_fingerprints, "
+            "CASE WHEN len(sel) > 0 THEN lpad(lower(hex(list_min(sel))), 16, '0') "
+            "ELSE '' END AS min_fingerprint FROM hs"
         ),
         "asof_join": (
             "SELECT event_id, user_id, o_orderkey FROM ("

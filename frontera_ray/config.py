@@ -52,6 +52,15 @@ class CrawlConfig:
     # and top-N(partition) == top-N(union of sub-group top-Ns) ⇒ the
     # schedule is IDENTICAL to salt=1 (tested), just more parallel.
     schedule_salt: int = 1
+    # frontier maintenance (round-2): scheduled fps accumulate as
+    # tombstones; the frontier files are rewritten (compacted) only when
+    # tombstones exceed this count AND half the referenced rows are dead —
+    # per-epoch frontier write cost is O(delta), not O(frontier)
+    frontier_compact_min: int = 1 << 20
+    # seed lists at or above this row count are admitted through the
+    # DISTRIBUTED Dataset offer path (below it, one driver-side offer
+    # round-trip is cheaper than a Dataset execution)
+    seed_driver_threshold: int = 50_000
     # politeness state placement: broadcast index (default; one ray.put) or
     # a sharded actor pool keyed host_hash % num_partitions (the scale path
     # for 10^8-host robots tables; same partitioner as the seen shards).

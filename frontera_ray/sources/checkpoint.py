@@ -7,22 +7,28 @@ fencing (SURVEY.md §2.9: job epochs / at-least-once idempotency). Layout:
     ckpt/
       init/                       seeds admitted, epoch "-1"
       epoch=0000/ … epoch=NNNN/
-        queued/*.parquet          full QUEUED frontier snapshot (rewritten)
+        queued/*.parquet          per-PARTITION QUEUED deltas (append-only;
+                                  compaction rewrites drop tombstoned rows)
         done.parquet              append-only delta: rows resolved this epoch
+        tombstones.parquet        fps scheduled but not yet compacted away
         out/*.parquet             fetched pages output (OUT schema)
         crawl_order.parquet       seq,url,epoch,fetched — deterministic order
         counters.parquet          COUNTERS schema, per epoch × partition
         seen/shard-K.bin          byte-stable SeenShard dumps
         manifest.json             WRITTEN LAST → the atomic completion marker
+                                  (carries queued_map: partition → file list,
+                                  root-relative, spanning earlier epoch dirs)
 
 Resume = read the newest dir whose manifest exists (incomplete epochs are
-invisible), reload queued + seen blobs + seq counter, continue. Re-running
-a finished epoch is idempotent: the seen set re-admits nothing and the
-epoch dir is simply rewritten with identical bytes-level content.
+invisible), reload the queued file map + seen blobs + seq counter, continue.
+Re-running a finished epoch is idempotent: the seen set re-admits nothing
+and the epoch dir is simply rewritten with identical bytes-level content.
 
-Scale note: `queued` is the only per-epoch rewrite and it shrinks as the
-crawl progresses; `done`/`out` are append-only per-epoch files, so a 10^10
-frontier never gets rewritten wholesale.
+Scale note (round-2 frontier update): the frontier is NEVER rewritten per
+epoch — each epoch appends its per-partition admission deltas and records
+the scheduled fps as tombstones; the full rewrite (dropping tombstones)
+happens only when tombstones reach a configured fraction of the frontier.
+Per-epoch write cost is O(delta), not O(frontier) — the 10^10-row path.
 """
 
 from __future__ import annotations
@@ -70,11 +76,34 @@ class Checkpoint:
         os.makedirs(os.path.join(d, "seen"), exist_ok=True)
         return d
 
-    def write_queued_table(self, epoch: int, table: pa.Table) -> None:
-        pq.write_table(table, os.path.join(self.epoch_dir(epoch), "queued", "part-0.parquet"))
-
     def queued_dir(self, epoch: int) -> str:
         return os.path.join(self.epoch_dir(epoch), "queued")
+
+    # -- frontier file map + tombstones ---------------------------------
+    def rel(self, path: str) -> str:
+        return os.path.relpath(path, self.root)
+
+    def rel_map(self, qmap: dict) -> dict:
+        return {str(p): [self.rel(f) for f in files] for p, files in qmap.items()}
+
+    def abs_map(self, rel_qmap: dict) -> dict:
+        return {
+            int(p): [os.path.join(self.root, f) for f in files]
+            for p, files in rel_qmap.items()
+        }
+
+    def write_tombstones(self, epoch: int, fps) -> str:
+        """Sorted uint64 fps → tombstones.parquet; returns root-relative path."""
+        t = pa.table({"fp64": pa.array(fps, pa.uint64())})
+        path = os.path.join(self.epoch_dir(epoch), "tombstones.parquet")
+        pq.write_table(t, path)
+        return self.rel(path)
+
+    def load_tombstones(self, relpath: str):
+        import numpy as np
+
+        t = pq.read_table(os.path.join(self.root, relpath))
+        return t["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64)
 
     def out_dir(self, epoch: int) -> str:
         return os.path.join(self.epoch_dir(epoch), "out")
@@ -119,12 +148,6 @@ class Checkpoint:
             with open(os.path.join(d, f"shard-{i}.bin"), "rb") as f:
                 blobs.append(f.read())
         return blobs
-
-    def queued_files(self, epoch: int) -> list[str]:
-        d = self.queued_dir(epoch)
-        return sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-        )
 
     # -- cross-epoch readers (final artifacts; tests/parity) ------------
     def _epochs_with(self, fname: str) -> list[str]:

@@ -248,6 +248,61 @@ def aggregate_candidates(admitted_ds, cfg: CrawlConfig):
     return agg.map_batches(decode, batch_format="pyarrow")
 
 
+def offer_seed_rows(shard_handles: list, rows: pa.Table) -> int:
+    """Route FRONTIER-shaped seed rows to their owning shards via the offer
+    protocol (shards must be in begin_epoch(-1, …, mode="seeds")): key =
+    depth-0 winner key, cash = the seed score (max-aggregated for dup
+    seeds). Callable from the driver (small seed lists) and from the
+    Dataset stage below (10^8-row seed lists — VERDICT #7)."""
+    if rows.num_rows == 0:
+        return 0
+    urls = rows["url"].to_pylist()
+    keys = [f"{0:06d}|{0:016x}|{u}" for u in urls]
+    fps = rows["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    parts = rows["partition"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cash = rows["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+    shard_of = parts % len(shard_handles)
+    futs = []
+    for s in np.unique(shard_of):
+        m = shard_of == s
+        futs.append(
+            shard_handles[int(s)].offer.remote(
+                fps[m], [k for k, keep in zip(keys, m) if keep], cash[m]
+            )
+        )
+    return int(sum(ray.get(futs)))
+
+
+class SeedOfferStage:
+    """map_batches callable for DISTRIBUTED seed init: seed batch →
+    strategy.read_seeds (enrich + score) → robots gate → offer to the seen
+    shards. The driver never materializes the seed list; each batch's rows
+    go straight from the scan task to the owning shard actors. Returns
+    per-batch (offered, gated) counts only."""
+
+    def __init__(self, cfg: CrawlConfig, politeness_ref, shard_handles, strategy):
+        self.cfg = cfg
+        self.politeness = politeness_ref
+        self.shards = shard_handles
+        self.strategy = strategy
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = self.strategy.read_seeds(t, self.cfg)
+        n_in = rows.num_rows
+        if self.cfg.obey_robots and n_in:
+            mask = self.politeness.allowed_mask(
+                rows["host"].to_pylist(), rows["url"].to_pylist()
+            )
+            rows = rows.filter(pa.array(mask))
+        offered = offer_seed_rows(self.shards, rows)
+        return pa.table(
+            {
+                "offered": pa.array([offered], pa.int64()),
+                "gated": pa.array([n_in - rows.num_rows], pa.int64()),
+            }
+        )
+
+
 def seeds_to_frontier(seeds: pa.Table, cfg: CrawlConfig) -> pa.Table:
     """Driver-side (seed lists are small): seed rows → FRONTIER QUEUED rows.
     Reference: strategy.read_seeds → schedule(request, score)

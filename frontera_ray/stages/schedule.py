@@ -48,6 +48,30 @@ def _schedule_group(g: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
     return g
 
 
+def _finalize(df: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
+    """Deterministic global order + per-partition cap over the union of
+    per-group top-k frames (shared by the Dataset and the per-file paths)."""
+    if df.empty:
+        return df
+    if "salt_group" in df.columns:
+        df = df.drop(columns=["salt_group"])
+    cols = ["partition", "budget_rank"] + [c for c, _ in POLICY_KEYS[cfg.policy] if c != "rand_key"]
+    asc = [True, True] + [a for c, a in POLICY_KEYS[cfg.policy] if c != "rand_key"]
+    if cfg.policy == "random":
+        from ..strategy import with_policy_keys
+        df = with_policy_keys(df, "random", cfg.seed)
+        cols = ["partition", "budget_rank", "rand_key", "fp64"]
+        asc = [True, True, True, True]
+    df = df.sort_values(cols, ascending=asc, kind="mergesort").reset_index(drop=True)
+    # per-partition cap — a no-op when groups are pre-trimmed per partition,
+    # the union-trim when sub-groups over-selected
+    df = df.groupby("partition", sort=False).head(cfg.max_next_requests)
+    df = df.reset_index(drop=True)
+    if "rand_key" in df.columns:
+        df = df.drop(columns=["rand_key"])
+    return df
+
+
 def schedule(queued_ds, cfg: CrawlConfig) -> pd.DataFrame:
     """QUEUED frontier Dataset → scheduled batch (driver-side DataFrame in
     deterministic global order: partition asc, budget_rank asc, policy keys).
@@ -79,22 +103,75 @@ def schedule(queued_ds, cfg: CrawlConfig) -> pd.DataFrame:
         lambda g: _schedule_group(g, cfg), batch_format="pandas"
     )
     df = out.to_pandas()  # bounded: ≤ P × salt × max_next_requests rows
-    if df.empty:
-        return df
-    if "salt_group" in df.columns:
-        df = df.drop(columns=["salt_group"])
-    cols = ["partition", "budget_rank"] + [c for c, _ in POLICY_KEYS[cfg.policy] if c != "rand_key"]
-    asc = [True, True] + [a for c, a in POLICY_KEYS[cfg.policy] if c != "rand_key"]
-    if cfg.policy == "random":
-        from ..strategy import with_policy_keys
-        df = with_policy_keys(df, "random", cfg.seed)
-        cols = ["partition", "budget_rank", "rand_key", "fp64"]
-        asc = [True, True, True, True]
-    df = df.sort_values(cols, ascending=asc, kind="mergesort").reset_index(drop=True)
-    # per-partition cap — a no-op at salt=1 (groups pre-trimmed), the
-    # union-trim at salt>1
-    df = df.groupby("partition", sort=False).head(cfg.max_next_requests)
-    df = df.reset_index(drop=True)
-    if "rand_key" in df.columns:
-        df = df.drop(columns=["rand_key"])
-    return df
+    return _finalize(df, cfg)
+
+
+# ----------------------------------------------------------------------
+# Shuffle-free path (round-2, VERDICT #5): the queued frontier checkpoint
+# is PARTITION-PURE by construction (seed resolve + per-shard deltas +
+# compaction all write one file set per host partition — shard k holds
+# exactly partition k because the offer router and the partitioner share
+# signed_crc32(host) % P). Scheduling therefore needs NO all-to-all: one
+# plain Ray task per partition reads its own files, drops tombstoned fps
+# (already-scheduled rows not yet compacted away), and runs the exact
+# _schedule_group kernel. Output per task ≤ max_next_requests rows — the
+# only data that ever reaches the driver. At 10^10 rows this turns the
+# per-epoch full-frontier shuffle into P parallel pruned file scans.
+# ----------------------------------------------------------------------
+
+import pyarrow as pa
+import ray
+
+
+@ray.remote
+def _schedule_partition_task(
+    paths: list[str], tomb, extra: "pa.Table | None", cfg: CrawlConfig
+) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    tables = [pq.read_table(p) for p in paths]
+    if not tables and extra is None:
+        return pd.DataFrame()
+    df = pa.concat_tables(tables).to_pandas() if tables else None
+    if df is not None and tomb is not None and len(tomb) and len(df):
+        df = df[~np.isin(df["fp64"].to_numpy(dtype=np.uint64), tomb)]
+    # extra rows (revisits) join AFTER the tombstone filter — their fps are
+    # tombstoned from their original schedule but are being re-injected
+    if extra is not None and extra.num_rows:
+        ex = extra.to_pandas()
+        df = ex if df is None else pd.concat([df, ex], ignore_index=True)
+    if df is None or df.empty:
+        return pd.DataFrame()
+    return _schedule_group(df, cfg)
+
+
+def schedule_files(
+    part_files: dict[int, list[str]],
+    tomb: "np.ndarray | None",
+    extra: "pa.Table | None",
+    cfg: CrawlConfig,
+) -> pd.DataFrame:
+    """Schedule from the partition-pure queued file map (+ optional extra
+    FRONTIER rows, e.g. revisits, routed to their partition here). Returns
+    the same frame as schedule() on the equivalent Dataset (tested)."""
+    extra_by_part: dict[int, pa.Table] = {}
+    if extra is not None and extra.num_rows:
+        parts = extra["partition"].to_numpy(zero_copy_only=False)
+        for p in np.unique(parts):
+            extra_by_part[int(p)] = extra.filter(pa.array(parts == p))
+    tomb_ref = ray.put(tomb) if tomb is not None and len(tomb) else None
+    futs = []
+    all_parts = sorted(set(part_files) | set(extra_by_part))
+    for p in all_parts:
+        paths = part_files.get(p, [])
+        if not paths and p not in extra_by_part:
+            continue
+        futs.append(
+            _schedule_partition_task.remote(
+                paths, tomb_ref, extra_by_part.get(p), cfg
+            )
+        )
+    frames = [f for f in ray.get(futs) if len(f)]
+    if not frames:
+        return pd.DataFrame()
+    return _finalize(pd.concat(frames, ignore_index=True), cfg)

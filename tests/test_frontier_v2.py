@@ -1,0 +1,175 @@
+"""Round-2 frontier design tests (VERDICT #5 / #7):
+- schedule_files (per-partition tasks, no shuffle) ≡ schedule (Dataset
+  groupby) on the same frontier, every policy;
+- distributed seed init (offer/resolve Dataset path) ≡ driver path;
+- a ≥10^5-row seed list admits without driver materialization;
+- tombstone compaction preserves crawl results.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from frontera_ray.config import CrawlConfig, POLICIES
+from frontera_ray.sources import synth
+
+
+def _frontier_table(n=3000, hosts=40, parts=4, seed=3):
+    rng = np.random.default_rng(seed)
+    from frontera_ray import schema as S
+    from frontera_ray.functions.fingerprint import signed_crc32
+
+    host_ids = rng.integers(0, hosts, n)
+    urls = [f"http://h{h}.test/x{i}" for i, h in enumerate(host_ids)]
+    host = [f"h{h}.test" for h in host_ids]
+    hh = np.array([signed_crc32(h) for h in host], dtype=np.int64)
+    fp = rng.integers(0, 2**63, n).astype(np.uint64)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "fp64": pa.array(fp, pa.uint64()),
+            "fp_hex": pa.array([f"{x:016x}" for x in fp], pa.string()),
+            "host": pa.array(host, pa.string()),
+            "host_hash": pa.array(hh, pa.int64()),
+            "partition": pa.array((hh % parts).astype(np.int32), pa.int32()),
+            "state": pa.array(np.full(n, S.QUEUED, np.uint8)),
+            "score": pa.array(rng.random(n), pa.float64()),
+            "depth": pa.array(rng.integers(0, 6, n).astype(np.int32), pa.int32()),
+            "discovered_epoch": pa.array(
+                rng.integers(-1, 4, n).astype(np.int32), pa.int32()
+            ),
+            "fetched_epoch": pa.array(np.full(n, -1, np.int32)),
+            "status_code": pa.array(np.full(n, -1, np.int16)),
+            "parent_fp64": pa.array(np.zeros(n, np.uint64)),
+        }
+    ).cast(S.FRONTIER)
+
+
+@pytest.mark.parametrize("policy", POLICIES)
+def test_schedule_files_equals_dataset_schedule(ray_session, tmp_path, policy):
+    import ray.data as rd
+
+    from frontera_ray.stages.schedule import schedule, schedule_files
+
+    t = _frontier_table()
+    cfg = CrawlConfig(
+        pages_paths=[], seeds_path="", checkpoint_dir=str(tmp_path),
+        num_partitions=4, policy=policy, max_requests_per_host=3,
+        max_next_requests=20,
+    )
+    # dataset path
+    want = schedule(rd.from_arrow(t), cfg).reset_index(drop=True)
+    # file path: split each partition's rows across two files + tombstones
+    tomb = t["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64)[::17]
+    parts = t["partition"].to_numpy(zero_copy_only=False)
+    qmap = {}
+    for p in np.unique(parts):
+        sub = t.filter(pa.array(parts == p))
+        f1 = str(tmp_path / f"q-{p}-a.parquet")
+        f2 = str(tmp_path / f"q-{p}-b.parquet")
+        pq.write_table(sub.slice(0, sub.num_rows // 2), f1)
+        pq.write_table(sub.slice(sub.num_rows // 2), f2)
+        qmap[int(p)] = [f1, f2]
+    # apply the same tombstones to the dataset path for comparison
+    keep = ~np.isin(t["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64), tomb)
+    want = schedule(rd.from_arrow(t.filter(pa.array(keep))), cfg).reset_index(drop=True)
+    got = schedule_files(qmap, tomb, None, cfg).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+
+
+def _crawl(fixture, ckdir, **kw):
+    from frontera_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(
+        pages_paths=fixture["parts"],
+        seeds_path=fixture["seeds_path"],
+        checkpoint_dir=ckdir,
+        max_epochs=kw.pop("max_epochs", 10),
+        **kw,
+    )
+    return run_crawl(cfg, resume=False)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fx") / "smoke")
+    return synth.write_fixture(d, synth.SMOKE)
+
+
+def test_distributed_seed_init_parity(ray_session, fixture_dir, tmp_path):
+    """seed_driver_threshold=0 forces the Dataset offer path; crawl output
+    must be identical to the driver path."""
+    c1, s1 = _crawl(fixture_dir, str(tmp_path / "ck_drv"))
+    c2, s2 = _crawl(
+        fixture_dir, str(tmp_path / "ck_dst"), seed_driver_threshold=0
+    )
+    a1, a2 = c1.artifacts(), c2.artifacts()
+    o1 = a1["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    o2 = a2["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o2)
+    assert np.array_equal(a1["seen"], a2["seen"])
+    assert s1 == s2
+
+
+def test_large_seed_list_admits_without_driver(ray_session, tmp_path):
+    """10^5 seeds stream through the Dataset offer path; every unique url
+    is admitted exactly once, dup seeds keep the max score."""
+    import ray
+
+    from frontera_ray.stages.seen_filter import make_seen_pool
+    from frontera_ray.stages.links import SeedOfferStage
+    import ray.data as rd
+
+    n = 100_000
+    urls = [f"http://seed{i % 50_000}.test/p0" for i in range(n)]  # 2x dups
+    scores = [1.0 - (i % 50_000) / 100_000 for i in range(n)]
+    seeds_path = str(tmp_path / "seeds.parquet")
+    pq.write_table(
+        pa.table({"url": pa.array(urls), "score": pa.array(scores)}), seeds_path
+    )
+    P = 4
+    cfg = CrawlConfig(
+        pages_paths=[], seeds_path=seeds_path,
+        checkpoint_dir=str(tmp_path / "ck"), num_partitions=P,
+        obey_robots=False,
+    )
+    shards = make_seen_pool(P, 1 << 20)
+    ray.get([s.begin_epoch.remote(-1, "bfs", P, "seeds") for s in shards])
+    from frontera_ray.strategy import CrawlStrategy
+
+    rd.read_parquet(seeds_path).map_batches(
+        SeedOfferStage(cfg, None, shards, CrawlStrategy()),
+        batch_format="pyarrow",
+    ).count()
+    paths = [str(tmp_path / f"new-{k}.parquet") for k in range(P)]
+    res = ray.get(
+        [s.resolve.remote(paths[k]) for k, s in enumerate(shards)]
+    )
+    total = sum(r["count"] for r in res)
+    assert total == 50_000
+    got = pa.concat_tables([pq.read_table(p) for p in paths if os.path.exists(p)])
+    assert got.num_rows == 50_000
+    # each shard file is partition-pure (the schedule_files contract)
+    for k, p in enumerate(paths):
+        if os.path.exists(p):
+            parts = np.unique(pq.read_table(p)["partition"].to_numpy(zero_copy_only=False))
+            assert list(parts) == [k]
+
+
+def test_compaction_preserves_crawl(ray_session, fixture_dir, tmp_path):
+    """Forcing compaction every epoch must not change the crawl."""
+    c1, s1 = _crawl(fixture_dir, str(tmp_path / "ck_a"))
+    c2, s2 = _crawl(
+        fixture_dir, str(tmp_path / "ck_b"), frontier_compact_min=1
+    )
+    a1, a2 = c1.artifacts(), c2.artifacts()
+    o1 = a1["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    o2 = a2["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o2)
+    assert np.array_equal(a1["seen"], a2["seen"])
