@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": relational.semi_join,
         "schedule_topk": relational.schedule_topk,
         "url_fingerprint": relational.url_fingerprint,
+        "anti_join": relational.anti_join,
+        "quantiles": relational.quantiles,
+        "rollup_counts": relational.rollup_counts,
         # dedup suite
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -174,6 +177,21 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag, l_linestatus"
         ),
         "distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
+        "anti_join": (
+            "SELECT c_nationkey, count(*) AS n_no_orders FROM customer "
+            "WHERE c_custkey NOT IN (SELECT user_id FROM events) "
+            "GROUP BY c_nationkey"
+        ),
+        "quantiles": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(floor(quantile_disc(value, 0.5)*10000 + 0.5) AS BIGINT) AS p50_e4, "
+            "CAST(floor(quantile_disc(value, 0.9)*10000 + 0.5) AS BIGINT) AS p90_e4 "
+            "FROM events GROUP BY event_type"
+        ),
+        "rollup_counts": (
+            "SELECT lang, source, count(*) AS n FROM documents "
+            "GROUP BY ROLLUP(lang, source)"
+        ),
         "window_tumbling": (
             "SELECT user_id, date_trunc('hour', ts) AS window_start, count(*) AS n, "
             "CAST(floor(sum(value)*10000 + 0.5) AS BIGINT) AS sum_value_e4 "

@@ -270,3 +270,90 @@ def url_fingerprint(sf_dir: str):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- round 2 --
+def anti_join(sf_dir: str):
+    """Customers with NO events, counted per nation (anti-join J-family).
+    The distinct order-custkey set is computed distributed (map_batches
+    partial unique → driver union — keys only, never rows) and broadcast;
+    the probe side streams. At 10^10 rows the same op hash-buckets both
+    sides on the key instead (documented alternative); the broadcast form
+    is right whenever the key set fits one node, as here."""
+    import ray
+
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    parts = events.map_batches(
+        lambda t: pa.table(
+            {"k": pa.array(np.unique(t["user_id"].to_numpy(zero_copy_only=False)))}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    have = np.unique(parts["k"].to_numpy())
+    have_ref = ray.put(have)
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+
+    def keep_orderless(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(keys, ray.get(have_ref))))
+
+    out = (
+        cust.map_batches(keep_orderless, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_no_orders"))
+        .to_pandas()  # ≤ #nations rows; typed even when empty
+    )
+    return pa.table(
+        {
+            "c_nationkey": pa.array(
+                out.get("c_nationkey", pd.Series(dtype=np.int32)), pa.int32()
+            ),
+            "n_no_orders": pa.array(
+                out.get("n_no_orders", pd.Series(dtype=np.int64)), pa.int64()
+            ),
+        }
+    )
+
+
+def quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (p50/p90) of event value —
+    DuckDB quantile_disc semantics: sorted[ceil(q*n) - 1]. Group count is
+    tiny (event types), so ONE map_groups per type sorts its slice; the
+    scale path for high-cardinality groups is a distributed sort +
+    per-group rank select (same kernel, range-partitioned)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        n = len(v)
+        pick = lambda qq: v[int(np.ceil(qq * n)) - 1]
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [n],
+                "p50_e4": [int(np.floor(pick(0.5) * 10_000 + 0.5))],
+                "p90_e4": [int(np.floor(pick(0.9) * 10_000 + 0.5))],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(q, batch_format="pandas")
+
+
+def rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) counts: detail + per-lang subtotal +
+    grand total, expressed as three Arrow-native groupbys unioned with
+    null-filled grouping columns (each level is its own small shuffle of
+    pre-aggregated partials — the standard rollup-at-scale shape)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
+    detail = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n")).to_pandas()
+    by_lang = detail.groupby("lang", as_index=False)["n"].sum()
+    by_lang["source"] = None
+    total = pd.DataFrame({"lang": [None], "source": [None], "n": [int(detail["n"].sum())]})
+    out = pd.concat([detail, by_lang, total], ignore_index=True)[["lang", "source", "n"]]
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"].tolist(), pa.string()),
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "n": pa.array(out["n"].astype(np.int64).to_numpy(), pa.int64()),
+        }
+    )
