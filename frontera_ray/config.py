@@ -30,6 +30,10 @@ class CrawlConfig:
     seen_spill_dir: str | None = None   # disk-spill sorted runs here (10^10 path)
     seen_max_resident_keys: int = 1 << 26  # per-shard RAM keys before disk spill
     obey_robots: bool = True
+    # Crawl-delay honoring: an epoch models this many seconds of wall time;
+    # a host with Crawl-delay d gets a per-epoch cap of
+    # min(max_requests_per_host, max(1, floor(epoch_seconds / d)))
+    epoch_seconds: float = 60.0
     follow_sitemaps: bool = False       # also admit <loc> urls from fetched
                                         # /sitemap.xml documents (M9)
     # pages table stores already-canonical URLs (true for production layouts

@@ -101,7 +101,11 @@ class Crawler:
 
     # -- setup ----------------------------------------------------------
     def _build_politeness(self) -> None:
+        from ..state.politeness import crawl_delay_caps
+
         rules = collect_robots(self.cfg.pages_paths) if self.cfg.obey_robots else {}
+        # Crawl-delay → per-host per-epoch caps (empty when none declared)
+        self.host_caps = crawl_delay_caps(rules, self.cfg.epoch_seconds) or None
         if self.cfg.politeness_actors:
             handles = make_politeness_pool(self.cfg.num_partitions, rules)
             self.politeness_ref = PolitenessClient(shard_handles=handles)
@@ -231,7 +235,9 @@ class Crawler:
         revisited = rev_tbl.num_rows if rev_tbl is not None else 0
 
         t0 = _t()
-        sched = schedule_files(fstate["map"], fstate["tomb"], rev_tbl, cfg)
+        sched = schedule_files(
+            fstate["map"], fstate["tomb"], rev_tbl, cfg, self.host_caps
+        )
         stage_sec["schedule"] = round(_t() - t0, 3)
         if sched.empty:
             return {"scheduled": 0}

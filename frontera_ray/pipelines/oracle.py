@@ -84,6 +84,17 @@ class OracleCrawl:
                 if h not in bodies or text < bodies[h]:
                     bodies[h] = text
         self.robots = {h: RobotsRules(b) for h, b in bodies.items()}
+        # Crawl-delay → per-host per-epoch cap (scheduler mirror; robots
+        # rules and their delays both apply only under obey_robots)
+        self.host_caps = (
+            {
+                h: max(1, int(cfg.epoch_seconds // r.crawl_delay))
+                for h, r in self.robots.items()
+                if r.crawl_delay
+            }
+            if cfg.obey_robots
+            else {}
+        )
 
         self.seen: set[int] = set()
         self.queued: dict[int, _Row] = {}
@@ -133,7 +144,11 @@ class OracleCrawl:
             capped = []
             for r in rows:
                 rank = per_host.get(r.host, 0)
-                if rank < cfg.max_requests_per_host:
+                cap = min(
+                    cfg.max_requests_per_host,
+                    self.host_caps.get(r.host, cfg.max_requests_per_host),
+                )
+                if rank < cap:
                     capped.append((rank, _policy_key(r, cfg.policy, cfg.seed), r))
                 per_host[r.host] = rank + 1
             capped.sort(key=lambda x: (x[0], x[1]))

@@ -35,10 +35,23 @@ from ..config import CrawlConfig
 from ..strategy import POLICY_KEYS, policy_sort
 
 
-def _schedule_group(g: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
+def _schedule_group(
+    g: pd.DataFrame, cfg: CrawlConfig, host_caps: dict | None = None
+) -> pd.DataFrame:
     g = policy_sort(g, cfg.policy, cfg.seed)
     g["budget_rank"] = g.groupby("host").cumcount().astype(np.int32)
-    g = g[g["budget_rank"] < cfg.max_requests_per_host]
+    if host_caps:
+        # Crawl-delay override: per-host cap = min(global cap, delay cap)
+        caps = (
+            g["host"]
+            .map(host_caps)
+            .fillna(cfg.max_requests_per_host)
+            .clip(upper=cfg.max_requests_per_host)
+            .astype(np.int32)
+        )
+        g = g[g["budget_rank"] < caps]
+    else:
+        g = g[g["budget_rank"] < cfg.max_requests_per_host]
     cols = ["budget_rank"] + [c for c, _ in POLICY_KEYS[cfg.policy]]
     asc = [True] + [a for _, a in POLICY_KEYS[cfg.policy]]
     g = g.sort_values(cols, ascending=asc, kind="mergesort")
@@ -72,7 +85,7 @@ def _finalize(df: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
     return df
 
 
-def schedule(queued_ds, cfg: CrawlConfig) -> pd.DataFrame:
+def schedule(queued_ds, cfg: CrawlConfig, host_caps: dict | None = None) -> pd.DataFrame:
     """QUEUED frontier Dataset → scheduled batch (driver-side DataFrame in
     deterministic global order: partition asc, budget_rank asc, policy keys).
     Callers guarantee the dataset is non-empty (queued counts travel in the
@@ -100,7 +113,7 @@ def schedule(queued_ds, cfg: CrawlConfig) -> pd.DataFrame:
         queued_ds = queued_ds.map_batches(add_salt, batch_format="pyarrow")
         grouped = queued_ds.groupby("salt_group")
     out = grouped.map_groups(
-        lambda g: _schedule_group(g, cfg), batch_format="pandas"
+        lambda g: _schedule_group(g, cfg, host_caps), batch_format="pandas"
     )
     df = out.to_pandas()  # bounded: ≤ P × salt × max_next_requests rows
     return _finalize(df, cfg)
@@ -125,7 +138,7 @@ import ray
 
 @ray.remote
 def _schedule_partition_task(
-    paths: list[str], tomb, extra: "pa.Table | None", cfg: CrawlConfig
+    paths: list[str], tomb, extra: "pa.Table | None", cfg: CrawlConfig, host_caps=None
 ) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
@@ -142,7 +155,7 @@ def _schedule_partition_task(
         df = ex if df is None else pd.concat([df, ex], ignore_index=True)
     if df is None or df.empty:
         return pd.DataFrame()
-    return _schedule_group(df, cfg)
+    return _schedule_group(df, cfg, host_caps)
 
 
 def schedule_files(
@@ -150,6 +163,7 @@ def schedule_files(
     tomb: "np.ndarray | None",
     extra: "pa.Table | None",
     cfg: CrawlConfig,
+    host_caps: dict | None = None,
 ) -> pd.DataFrame:
     """Schedule from the partition-pure queued file map (+ optional extra
     FRONTIER rows, e.g. revisits, routed to their partition here). Returns
@@ -168,7 +182,7 @@ def schedule_files(
             continue
         futs.append(
             _schedule_partition_task.remote(
-                paths, tomb_ref, extra_by_part.get(p), cfg
+                paths, tomb_ref, extra_by_part.get(p), cfg, host_caps
             )
         )
     frames = [f for f in ray.get(futs) if len(f)]

@@ -30,12 +30,16 @@ import pyarrow as pa
 
 
 class RobotsRules:
-    """Parsed rules for one host: list of (allow: bool, prefix: str)."""
+    """Parsed rules for one host: list of (allow: bool, prefix: str)
+    plus the ``Crawl-delay`` directive (seconds; non-standard but honored
+    by the reference's discovery strategy — rate-limits via the scheduler's
+    per-host-per-epoch cap, see stages/schedule.py)."""
 
-    __slots__ = ("rules",)
+    __slots__ = ("rules", "crawl_delay")
 
     def __init__(self, body: str):
         self.rules: list[tuple[bool, str]] = []
+        self.crawl_delay: float | None = None
         applies = False
         for raw in body.splitlines():
             line = raw.split("#", 1)[0].strip()
@@ -50,6 +54,13 @@ class RobotsRules:
                 if val == "":
                     continue  # empty Disallow/Allow = no rule
                 self.rules.append((key == "allow", val))
+            elif applies and key == "crawl-delay":
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                if d > 0:
+                    self.crawl_delay = d
 
     def allowed(self, path: str) -> bool:
         best_len = -1
@@ -149,6 +160,18 @@ class PolitenessClient:
         for idx, f in futs:
             out[idx] = ray.get(f)
         return out
+
+
+def crawl_delay_caps(host_rules: dict[str, str], epoch_seconds: float) -> dict[str, int]:
+    """host → per-epoch request cap derived from Crawl-delay (only hosts
+    that declare one). Consumed by the scheduler as a per-host override of
+    max_requests_per_host (min of the two)."""
+    caps: dict[str, int] = {}
+    for h, b in host_rules.items():
+        d = RobotsRules(b).crawl_delay
+        if d:
+            caps[h] = max(1, int(epoch_seconds // d))
+    return caps
 
 
 def collect_robots(pages_paths: list[str]) -> dict[str, str]:
