@@ -178,8 +178,54 @@ def ann_lsh(sf_dir: str, k: int = 10, n_queries: int = 8, n_bits: int = 4):
         b = t["bucket"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(np.isin(b, ray.get(want_ref))))
 
-    cand = bucketed.map_batches(keep, batch_format="pyarrow").to_pandas()
-    if cand.empty:
+    # per-batch partial top-k per query (round-2 fix: the driver merges
+    # ≤ k × queries × batches rows — bounded even on a hot bucket, unlike
+    # collecting every candidate row)
+    q_ref = ray.put((qids, qn, {q: np.array(sorted(b), np.int64) for q, b in probe.items()}))
+    kk = k
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        _qids, _qn, _probe = ray.get(q_ref)
+        m = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
+        )
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = t["bucket"].to_numpy(zero_copy_only=False)
+        oq, ov, oc = [], [], []
+        for i, qid in enumerate(_qids):
+            mask = np.isin(buckets, _probe[int(qid)]) & (ids != qid)
+            if not mask.any():
+                continue
+            cos = mn[mask] @ _qn[i]
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -cos))[:kk]
+            oq.extend([int(qid)] * len(order))
+            ov.extend(int(x) for x in sub_ids[order])
+            oc.extend(float(x) for x in cos[order])
+        return pa.table(
+            {
+                "query_id": pa.array(oq, pa.int64()),
+                "vec_id": pa.array(ov, pa.int64()),
+                "cos": pa.array(oc, pa.float64()),
+            }
+        )
+
+    partial = (
+        bucketed.map_batches(keep, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if partial.empty:
         return pa.table(
             {
                 "query_id": pa.array([], pa.int64()),
@@ -188,25 +234,10 @@ def ann_lsh(sf_dir: str, k: int = 10, n_queries: int = 8, n_bits: int = 4):
                 "rk": pa.array([], pa.int64()),
             }
         )
-    m = np.stack([np.asarray(e, dtype=np.float64) for e in cand["embedding"]])
-    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    ids = cand["vec_id"].to_numpy(np.int64)
-    buckets = cand["bucket"].to_numpy(np.int64)
-    rows = []
-    for i, qid in enumerate(qids):
-        mask = np.isin(buckets, list(probe[int(qid)])) & (ids != qid)
-        if not mask.any():
-            continue
-        cos = mn[mask] @ qn[i]
-        sub_ids = ids[mask]
-        order = np.lexsort((sub_ids, -cos))[:k]
-        for r, j in enumerate(order):
-            rows.append((int(qid), int(sub_ids[j]), round(float(cos[j]), 6), r + 1))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "cos": pa.array([r[2] for r in rows], pa.float64()),
-            "rk": pa.array([r[3] for r in rows], pa.int64()),
-        }
+    partial = partial.sort_values(
+        ["query_id", "cos", "vec_id"], ascending=[True, False, True], kind="mergesort"
     )
+    top = partial.groupby("query_id", sort=True).head(k).copy()
+    top["rk"] = top.groupby("query_id").cumcount().astype(np.int64) + 1
+    top["cos"] = top["cos"].round(6)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
