@@ -5,9 +5,11 @@ entry()      — flagship crawl pipeline over a pages table derived from
                dataset (byte-identical `text` per url).
 queries()    — one entry per implemented operator/pipeline (SURVEY.md §2 +
                the training-data ops); each callable takes sf_dir.
-oracle_sql() — DuckDB-equivalent SQL for the SQL-expressible subset; the
-               non-SQL ops (crawl orchestration, MinHash/SimHash, LSH-ANN,
-               language ID, fingerprinting, multimodal stub) are rows-only.
+oracle_sql() — DuckDB-equivalent SQL for the SQL-expressible subset —
+               including full MinHash+LSH and SimHash (splitmix64/bit
+               arithmetic re-expressed in SQL). Rows-only remainder: the
+               approximate ops (HLL, LSH-ANN recall-tested instead), the
+               multimodal stub, and the stateful crawl artifacts.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -133,6 +135,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# ---- MinHash+LSH in pure SQL (splitmix64 via HUGEINT mod-2^64 arithmetic;
+# 64-bit multiply split into 32-bit halves to stay inside HUGEINT range) ----
+_M64, _M32 = 1 << 64, 1 << 32
+_G, _C1, _C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+
+def _sql_mulstep(x: str, c: int) -> str:
+    return (
+        f"((({x} & 4294967295)::HUGEINT * {c} + "
+        f"(((({x} >> 32)::HUGEINT * {c}) % {_M32}) * {_M32})) % {_M64})::UBIGINT"
+    )
+
+
+def _sql_splitmix64(x: str) -> str:
+    x1 = f"((({x})::HUGEINT + {_G}) % {_M64})::UBIGINT"
+    e1 = f"xor({x1}, ({x1} >> 30))"
+    x2 = _sql_mulstep(e1, _C1)
+    e2 = f"xor({x2}, ({x2} >> 27))"
+    x3 = _sql_mulstep(e2, _C2)
+    return f"xor({x3}, ({x3} >> 31))"
+
+
+def _minhash_ctes() -> str:
+    """Shared CTE chain: word 5-gram shingles → 64-perm minhash signatures
+    → 16×4 LSH bands → capped buckets → candidate pairs → est_jaccard
+    (mirrors ops/dedup.py: _shingle_hashes/_minhash_sig/minhash_lsh_pairs)."""
+    return (
+        "words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "grams AS (SELECT doc_id, CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')] "
+        "ELSE list_transform(generate_series(1, len(ws)-4), i -> array_to_string(ws[i:i+4], ' ')) END AS gs "
+        "FROM words), "
+        "sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS s "
+        "FROM (SELECT doc_id, unnest(gs) AS g FROM grams)), "
+        f"seeds AS (SELECT i, ((i::HUGEINT * {_G}) % {_M64})::UBIGINT AS seed "
+        "FROM (SELECT unnest(generate_series(1, 64)) AS i)), "
+        f"mh AS (SELECT doc_id, i, min({_sql_splitmix64('xor(s, seed)')}) AS mv "
+        "FROM sh CROSS JOIN seeds GROUP BY doc_id, i), "
+        "sigs AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM mh GROUP BY doc_id), "
+        "bands AS (SELECT doc_id, b, sig[4*b+1:4*b+4] AS bkey "
+        "FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)), "
+        "sizes AS (SELECT b, bkey, count(*) AS n FROM bands GROUP BY b, bkey), "
+        "cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db "
+        "FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id "
+        "JOIN sizes z ON z.b = a.b AND z.bkey = a.bkey WHERE z.n <= 256), "
+        "est AS (SELECT da AS doc_a, db AS doc_b, "
+        "len(list_filter(generate_series(1, 64), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS est_jaccard "
+        "FROM cand JOIN sigs sa ON sa.doc_id = da JOIN sigs sb ON sb.doc_id = db)"
+    )
+
+
+_MINHASH_PAIRS_SQL = (
+    f"WITH {_minhash_ctes()} "
+    "SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5"
+)
+
+_NGRAM_JACCARD_SQL = (
+    f"WITH {_minhash_ctes()}, "
+    "cand2 AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.2), "
+    "g3 AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+    "ELSE list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')) END AS gs "
+    "FROM words), "
+    "s3 AS (SELECT doc_id, list(DISTINCT ('0x' || substr(md5(g), 1, 16))::UBIGINT) AS ss "
+    "FROM (SELECT doc_id, unnest(gs) AS g FROM g3) GROUP BY doc_id), "
+    "jac AS (SELECT doc_a, doc_b, "
+    "len(list_intersect(a.ss, b.ss)) * 1.0 / "
+    "(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS j "
+    "FROM cand2 JOIN s3 a ON a.doc_id = doc_a JOIN s3 b ON b.doc_id = doc_b) "
+    "SELECT doc_a, doc_b, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6 "
+    "FROM jac WHERE j >= 0.4"
+)
+
 _SIMHASH_SIG_SQL = (
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
     "h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM toks), "
@@ -226,6 +299,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
         ),
+        # full MinHash+LSH in SQL (shingles → splitmix64 64-perm signatures
+        # → banding → capped buckets → est-Jaccard ≥ threshold)
+        "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+        # exact 3-gram Jaccard over the LSH candidate set (est ≥ 0.2)
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         # 64-bit SimHash in SQL: per-token md5-derived uint64, ±1 bit votes,
         # sign → bit (mirrors ops/dedup.simhash_signatures exactly)
         "simhash_signatures": _SIMHASH_SIG_SQL,

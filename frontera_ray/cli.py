@@ -79,6 +79,7 @@ def cmd_crawl(args) -> int:
         revisit_after_epochs=args.revisit_after,
         obey_robots=not args.ignore_robots,
         follow_sitemaps=args.follow_sitemaps,
+        assume_canonical_pages=args.assume_canonical,
     )
     _, summary = run_crawl(cfg, resume=args.resume)
     print(json.dumps(summary))
@@ -126,6 +127,11 @@ def main(argv=None) -> int:
     pc.add_argument("--max-next", type=int, default=64)
     pc.add_argument("--revisit-after", type=int, default=None)
     pc.add_argument("--ignore-robots", action="store_true")
+    pc.add_argument(
+        "--assume-canonical", action="store_true",
+        help="pages table stores canonical urls: push the scheduled-url "
+        "filter into the parquet scan (skip per-row canonicalization)",
+    )
     pc.add_argument("--follow-sitemaps", action="store_true")
     pc.add_argument("--resume", action="store_true")
     pc.add_argument("--num-cpus", type=int, default=None)

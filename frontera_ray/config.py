@@ -36,6 +36,12 @@ class CrawlConfig:
     epoch_seconds: float = 60.0
     follow_sitemaps: bool = False       # also admit <loc> urls from fetched
                                         # /sitemap.xml documents (M9)
+    # materialize the pages table in the object store ONCE per crawl and
+    # serve every epoch's fetch (and the robots collection) from it instead
+    # of re-decoding parquet per epoch. Right whenever the pages table fits
+    # the cluster's aggregate object store (it stays distributed across
+    # nodes); at 100 TB leave False and rely on the pruned per-epoch scan.
+    cache_pages_in_memory: bool = False
     # pages table stores already-canonical URLs (true for production layouts
     # where the store is keyed by the frontier's canonical URL): lets the
     # fetch simulator push its URL filter into the parquet scan so

@@ -236,7 +236,7 @@ def _empty_jaccard() -> pa.Table:
         {
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
+            "jaccard_e6": pa.array([], pa.int64()),
         }
     )
 
@@ -390,12 +390,14 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3):
             if j >= thr:
                 ra.append(int(r.doc_a))
                 rb.append(int(r.doc_b))
-                rj.append(round(j, 6))
+                # scaled-int export (repo convention; SQL mirror uses the
+                # identical floor(x*1e6 + 0.5) formula)
+                rj.append(int(np.floor(j * 1_000_000 + 0.5)))
         return pd.DataFrame(
             {
                 "doc_a": np.array(ra, np.int64),
                 "doc_b": np.array(rb, np.int64),
-                "jaccard": np.array(rj, np.float64),
+                "jaccard_e6": np.array(rj, np.int64),
             }
         )
 
@@ -413,7 +415,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3):
         {
             "doc_a": pa.array(out["doc_a"].to_numpy(), pa.int64()),
             "doc_b": pa.array(out["doc_b"].to_numpy(), pa.int64()),
-            "jaccard": pa.array(out["jaccard"].to_numpy(), pa.float64()),
+            "jaccard_e6": pa.array(out["jaccard_e6"].to_numpy(), pa.int64()),
         }
     )
 

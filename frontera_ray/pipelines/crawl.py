@@ -98,12 +98,20 @@ class Crawler:
         self.politeness_ref = None
         self.strategy = strategy if strategy is not None else CrawlStrategy()
         self.seq = 0
+        # one materialized pages Dataset shared by robots collection and
+        # every epoch's fetch (cfg.cache_pages_in_memory; blocks live
+        # distributed in the object store, never on the driver)
+        self.pages_ds = None
 
     # -- setup ----------------------------------------------------------
     def _build_politeness(self) -> None:
         from ..state.politeness import crawl_delay_caps
 
-        rules = collect_robots(self.cfg.pages_paths) if self.cfg.obey_robots else {}
+        rules = (
+            collect_robots(self.cfg.pages_paths, pages_ds=self.pages_ds)
+            if self.cfg.obey_robots
+            else {}
+        )
         # Crawl-delay → per-host per-epoch caps (empty when none declared)
         self.host_caps = crawl_delay_caps(rules, self.cfg.epoch_seconds) or None
         if self.cfg.politeness_actors:
@@ -129,7 +137,11 @@ class Crawler:
         )
         n_seeds = pq.ParquetFile(cfg.seeds_path).metadata.num_rows
         if n_seeds >= cfg.seed_driver_threshold:
-            rd.read_parquet(cfg.seeds_path).map_batches(
+            # split the (row-grouped) seed file into parallel admission tasks
+            import ray as _r
+
+            nblocks = max(4, int(_r.cluster_resources().get("CPU", 4)))
+            rd.read_parquet(cfg.seeds_path, override_num_blocks=nblocks).map_batches(
                 SeedOfferStage(cfg, self.politeness_ref, self.shards, self.strategy),
                 batch_format="pyarrow",
             ).count()
@@ -249,7 +261,9 @@ class Crawler:
             counters.append((-1, "revisited", int(revisited)))
 
         t0 = _t()
-        fetched_ds = fetch_sim(sched, cfg.pages_paths, cfg.assume_canonical_pages)
+        fetched_ds = fetch_sim(
+            sched, cfg.pages_paths, cfg.assume_canonical_pages, self.pages_ds
+        )
         # ONE pass over the materialized blocks gives fetched-meta AND the
         # dirty-variant winner set (no separate count()/pairs executions)
         meta = fetched_ds.select_columns(
@@ -499,6 +513,8 @@ class Crawler:
     # -- full run -------------------------------------------------------
     def run(self, resume: bool = True) -> dict:
         cfg, ck = self.cfg, self.ck
+        if cfg.cache_pages_in_memory and self.pages_ds is None:
+            self.pages_ds = rd.read_parquet(cfg.pages_paths).materialize()
         self._build_politeness()
         if not resume:
             import shutil

@@ -137,7 +137,12 @@ BENCH = FixtureSpec(num_hosts=2000, pages_per_host=0, total_pages=1_000_000,
 
 
 def build_pages(spec: FixtureSpec) -> pa.Table:
-    """Build the full pages table (PAGES schema) deterministically."""
+    """Build the full pages table (PAGES schema) deterministically.
+
+    Row order: all page rows first, all robots rows LAST — so within each
+    partition part file the robots rows cluster into the tail row group(s)
+    and the robots collection pass decodes `text` for one row group per
+    file instead of the whole column (state/politeness.collect_robots)."""
     urls: list[str] = []
     htmls: list[bytes] = []
     texts: list[str] = []
@@ -151,7 +156,7 @@ def build_pages(spec: FixtureSpec) -> pa.Table:
                 page_html(s, i, spec.num_hosts, n, spec.fanout, spec.html_pad)
             )
             texts.append(page_text(u))
-        # robots row
+    for s in range(spec.num_hosts):
         u = robots_url(s)
         body = robots_body(s)
         urls.append(u)
@@ -223,12 +228,20 @@ def write_fixture(out_dir: str, spec: FixtureSpec, overwrite: bool = False) -> d
     pages_dir = os.path.join(out_dir, "pages")
     seeds_path = os.path.join(out_dir, "seeds.parquet")
     marker = os.path.join(out_dir, "_SUCCESS")
+    # marker carries a layout stamp: regenerating after a generator change
+    # invalidates stale cached fixtures (e.g. under /tmp across sessions)
+    stamp = f"v2:{spec!r}"
     if os.path.exists(marker) and not overwrite:
-        parts = sorted(
-            os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
-            if f.endswith(".parquet")
-        )
-        return {"pages_dir": pages_dir, "seeds_path": seeds_path, "parts": parts}
+        with open(marker) as f:
+            if f.read() == stamp:
+                parts = sorted(
+                    os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
+                    if f.endswith(".parquet")
+                )
+                return {"pages_dir": pages_dir, "seeds_path": seeds_path, "parts": parts}
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     os.makedirs(pages_dir, exist_ok=True)
     tbl = build_pages(spec)
@@ -247,7 +260,9 @@ def write_fixture(out_dir: str, spec: FixtureSpec, overwrite: bool = False) -> d
         # into balanced read tasks instead of one straggler block
         pq.write_table(sub, path, row_group_size=16384)
         paths.append(path)
-    pq.write_table(build_seeds(spec), seeds_path)
+    # small row groups keep big seed lists splittable into parallel
+    # admission tasks (distributed seed init)
+    pq.write_table(build_seeds(spec), seeds_path, row_group_size=8192)
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return {"pages_dir": pages_dir, "seeds_path": seeds_path, "parts": paths}

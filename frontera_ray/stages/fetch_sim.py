@@ -116,18 +116,20 @@ def fetched_empty() -> pa.Table:
 
 
 def fetch_sim(
-    scheduled: pd.DataFrame, pages_paths: list[str], assume_canonical: bool = False
+    scheduled: pd.DataFrame,
+    pages_paths: list[str],
+    assume_canonical: bool = False,
+    pages_ds=None,
 ):
     """scheduled (driver df with url/fp64/score/depth/partition/host) →
     fetched MATERIALIZED Dataset (see _FetchFilter output schema, INCLUDING
     raw_url — the caller resolves dirty-variant winners from its meta
     projection and drops the column). Bounded by the politeness budget, so
-    materializing is safe."""
-    n_parts = len(pages_paths)
-    # prune: only pages parts whose host-partition appears in the batch
-    hh = crc32_batch(scheduled["host"].tolist())
-    needed = sorted(set(int(p) for p in (hh % n_parts)))
-    paths = [pages_paths[p] for p in needed]
+    materializing is safe.
+
+    pages_ds: optionally a MATERIALIZED pages Dataset (cfg.
+    cache_pages_in_memory) — epochs then filter object-store blocks
+    zero-copy instead of re-decoding parquet."""
     urls = scheduled["url"].tolist()
     sched_ref = ray.put(
         {
@@ -139,14 +141,20 @@ def fetch_sim(
             "host": pa.array(scheduled["host"].tolist(), pa.string()),
         }
     )
-    if assume_canonical:
-        # predicate pushdown: the scan emits ONLY scheduled rows — html of
-        # the other 95%+ never enters the object store, and the remaining
-        # decode work parallelizes across part files
-        expr = pc.field("url").isin(urls)
-        ds = rd.read_parquet(paths, filter=expr)
+    if pages_ds is not None:
+        ds = pages_ds
     else:
-        ds = rd.read_parquet(paths)
+        n_parts = len(pages_paths)
+        # prune: only pages parts whose host-partition appears in the batch
+        hh = crc32_batch(scheduled["host"].tolist())
+        needed = sorted(set(int(p) for p in (hh % n_parts)))
+        # NB: a parquet `filter=isin(urls)` pushdown was MEASURED SLOWER
+        # here: the url list serializes into every read task (MBs each) and
+        # unsorted urls defeat row-group statistics pruning, so nothing is
+        # actually skipped. The broadcast-array index_in filter below ships
+        # the scheduled set ONCE via the object store and filters at Arrow
+        # speed.
+        ds = rd.read_parquet([pages_paths[p] for p in needed])
     return ds.map_batches(
         _FetchFilter(sched_ref, assume_canonical), batch_format="pyarrow"
     ).materialize()

@@ -174,27 +174,65 @@ def crawl_delay_caps(host_rules: dict[str, str], epoch_seconds: float) -> dict[s
     return caps
 
 
-def collect_robots(pages_paths: list[str]) -> dict[str, str]:
-    """One pruned distributed pass over the pages table → {host: robots body}.
-
-    Reads only (url, text); row-group predicate keeps it cheap. Result is
-    small (one row per host) and is the only thing collected to the driver.
-    """
-    import ray.data as rd
+def _robots_pick(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
+
     from ..functions.urlnorm import extract_host_array
 
-    ds = rd.read_parquet(pages_paths, columns=["url", "text"])
+    mask = pc.ends_with(batch["url"], "/robots.txt")
+    sub = batch.filter(mask)
+    hosts = extract_host_array(sub["url"])
+    return pa.table({"host": hosts, "body": sub["text"]})
 
-    def pick(batch: pa.Table) -> pa.Table:
-        mask = pc.ends_with(batch["url"], "/robots.txt")
-        sub = batch.filter(mask)
-        hosts = extract_host_array(sub["url"])
-        return pa.table({"host": hosts, "body": sub["text"]})
 
-    tbl = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+def _finish_robots(tbl) -> dict[str, str]:
     if tbl.empty:  # no robots.txt rows anywhere → everything allowed
         return {}
     # deterministic winner on duplicate hosts: lexicographically smallest body
     tbl = tbl.sort_values(["host", "body"]).drop_duplicates("host", keep="first")
     return dict(zip(tbl["host"], tbl["body"]))
+
+
+def collect_robots(pages_paths: list[str], pages_ds=None) -> dict[str, str]:
+    """Distributed pass over the pages table → {host: robots body}; result
+    is one small row per host, the only thing collected to the driver.
+
+    Parquet path: one plain Ray task per part file scans the (cheap) url
+    column per row group and decodes `text` ONLY for row groups containing
+    robots rows — with the fixture's robots-rows-last layout that is one
+    row group per file instead of the whole text column.
+    pages_ds path (cache_pages_in_memory): same pick over the already-
+    materialized blocks — no second parquet scan at all."""
+    import pandas as pd
+    import ray
+
+    if pages_ds is not None:
+        tbl = pages_ds.map_batches(_robots_pick, batch_format="pyarrow").to_pandas()
+        return _finish_robots(tbl)
+
+    futs = [_collect_file_robots.remote(p) for p in pages_paths]
+    tables = [t for t in ray.get(futs) if t.num_rows]
+    if not tables:
+        return {}
+    tbl = pa.concat_tables(tables).to_pandas()
+    return _finish_robots(tbl)
+
+
+import ray as _ray
+
+
+@_ray.remote
+def _collect_file_robots(path: str) -> pa.Table:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    parts = []
+    for rg in range(pf.num_row_groups):
+        urls = pf.read_row_group(rg, columns=["url"])["url"]
+        mask = pc.ends_with(urls, "/robots.txt")
+        if pc.any(mask).as_py():
+            parts.append(_robots_pick(pf.read_row_group(rg, columns=["url", "text"])))
+    if not parts:
+        return pa.table({"host": pa.array([], pa.string()), "body": pa.array([], pa.string())})
+    return pa.concat_tables(parts)

@@ -35,9 +35,17 @@ def test_simhash_pairs_byte_identical_at_round1_params():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_ngram_jaccard_pairs_byte_identical():
-    got = dedup.ngram_jaccard_pairs(SF)
-    assert got.equals(_expect("ngram_jaccard_pairs"))
+def test_ngram_jaccard_pairs_matches_round1():
+    """Same pairs as round 1; jaccard now exported as the repo-wide scaled
+    int (floor(j*1e6 + 0.5)) so the DuckDB oracle can hash-match it."""
+    import numpy as np
+
+    got = dedup.ngram_jaccard_pairs(SF).to_pandas()
+    exp = _expect("ngram_jaccard_pairs").to_pandas()
+    assert got["doc_a"].tolist() == exp["doc_a"].tolist()
+    assert got["doc_b"].tolist() == exp["doc_b"].tolist()
+    exp_e6 = np.floor(exp["jaccard"].to_numpy() * 1_000_000 + 0.5).astype(np.int64)
+    assert (got["jaccard_e6"].to_numpy() == exp_e6).all()
 
 
 @pytest.mark.usefixtures("ray_session")

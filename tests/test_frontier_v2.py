@@ -173,3 +173,18 @@ def test_compaction_preserves_crawl(ray_session, fixture_dir, tmp_path):
     o2 = a2["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
     pd.testing.assert_frame_equal(o1, o2)
     assert np.array_equal(a1["seen"], a2["seen"])
+
+
+def test_pages_cache_parity(ray_session, fixture_dir, tmp_path):
+    """cache_pages_in_memory serves fetch + robots from materialized
+    blocks; results must be identical to the parquet-scan path."""
+    c1, s1 = _crawl(fixture_dir, str(tmp_path / "ck_nc"))
+    c2, s2 = _crawl(
+        fixture_dir, str(tmp_path / "ck_ca"), cache_pages_in_memory=True
+    )
+    a1, a2 = c1.artifacts(), c2.artifacts()
+    o1 = a1["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    o2 = a2["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o2)
+    assert np.array_equal(a1["seen"], a2["seen"])
+    assert s1 == s2
