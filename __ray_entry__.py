@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": relational.anti_join,
         "quantiles": relational.quantiles,
         "rollup_counts": relational.rollup_counts,
+        "window_hopping": relational.window_hopping,
         # dedup suite
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
+        "ann_ivf": ann.ann_ivf,
         "embedding_stats": ann.embedding_stats,
         # temporal joins / sessions
         "asof_join": temporal.asof_join,
@@ -269,6 +271,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('hour', ts) AS window_start, count(*) AS n, "
             "CAST(floor(sum(value)*10000 + 0.5) AS BIGINT) AS sum_value_e4 "
             "FROM events GROUP BY 1, 2"
+        ),
+        "window_hopping": (
+            "SELECT user_id, "
+            "make_timestamp(((epoch_us(ts) // 1800000000) - j) * 1800000000) AS window_start, "
+            "count(*) AS n, "
+            "CAST(floor(sum(value)*10000 + 0.5) AS BIGINT) AS sum_value_e4 "
+            "FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j) "
+            "GROUP BY user_id, window_start"
         ),
         "topk_per_key": (
             "SELECT event_type, event_id, value, rk FROM ("

@@ -241,3 +241,117 @@ def ann_lsh(sf_dir: str, k: int = 10, n_queries: int = 8, n_bits: int = 4):
     top["rk"] = top.groupby("query_id").cumcount().astype(np.int64) + 1
     top["cos"] = top["cos"].round(6)
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+class IvfIndexStage:
+    """IVF-style coarse quantizer (T6 actor-pool pattern): centroids fit
+    once per actor from a broadcast deterministic sample (seeded k-means,
+    few Lloyd iterations — enough for a bucketing quantizer, not a model
+    claim), batches assigned to their nearest centroid cell."""
+
+    def __init__(self, cent_ref):
+        import ray as _r
+
+        self.centroids = _r.get(cent_ref)  # (n_cells, dim), L2-normalized
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(mn @ self.centroids.T, axis=1).astype(np.int64)
+        return t.append_column("cell", pa.array(cell, pa.int64()))
+
+
+def _fit_centroids(sample: np.ndarray, n_cells: int, iters: int = 5, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = sn[rng.choice(len(sn), size=min(n_cells, len(sn)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sn @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sn[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ann_ivf(sf_dir: str, k: int = 10, n_queries: int = 8, n_cells: int = 16, n_probe: int = 4):
+    """IVF-bucketed approximate top-k (the scale path next to LSH): fit a
+    coarse quantizer on a deterministic hash-sample, assign every vector to
+    its cell in map_batches, and search only each query's n_probe nearest
+    cells with per-batch partial top-k (driver merge bounded by
+    k × queries × batches). Recall vs brute force measured in tests."""
+    import pyarrow.parquet as pq_
+
+    qids, qn = _load_queries(sf_dir, n_queries)
+    # deterministic sample for the quantizer: vec_id % 7 == 0
+    t = pq_.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    samp = t.filter(pa.array(ids % 7 == 0))
+    sample = np.stack([np.asarray(e, dtype=np.float64) for e in samp["embedding"].to_pylist()])
+    cent = _fit_centroids(sample, n_cells)
+    cent_ref = ray.put(cent)
+    probe = {
+        int(qids[i]): np.argsort(-(qn[i] @ cent.T))[:n_probe].astype(np.int64)
+        for i in range(len(qids))
+    }
+    q_ref = ray.put((qids, qn, probe))
+    kk = k
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        _qids, _qn, _probe = ray.get(q_ref)
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = t["cell"].to_numpy(zero_copy_only=False)
+        oq, ov, oc = [], [], []
+        for i, qid in enumerate(_qids):
+            mask = np.isin(cells, _probe[int(qid)]) & (ids != qid)
+            if not mask.any():
+                continue
+            cos = mn[mask] @ _qn[i]
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -cos))[:kk]
+            oq.extend([int(qid)] * len(order))
+            ov.extend(int(x) for x in sub_ids[order])
+            oc.extend(float(x) for x in cos[order])
+        return pa.table(
+            {
+                "query_id": pa.array(oq, pa.int64()),
+                "vec_id": pa.array(ov, pa.int64()),
+                "cos": pa.array(oc, pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    partial = (
+        ds.map_batches(IvfIndexStage(cent_ref), batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if partial.empty:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+                "rk": pa.array([], pa.int64()),
+            }
+        )
+    partial = partial.sort_values(
+        ["query_id", "cos", "vec_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    top = partial.groupby("query_id", sort=True).head(k).copy()
+    top["rk"] = top.groupby("query_id").cumcount().astype(np.int64) + 1
+    top["cos"] = top["cos"].round(6)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)

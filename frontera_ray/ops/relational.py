@@ -357,3 +357,49 @@ def rollup_counts(sf_dir: str):
             "n": pa.array(out["n"].astype(np.int64).to_numpy(), pa.int64()),
         }
     )
+
+
+def window_hopping(sf_dir: str, size_min: int = 60, hop_min: int = 30):
+    """Hopping (sliding) 1h windows every 30min per user: each event
+    belongs to size/hop windows — the explode is a vectorized column op
+    per batch, then ONE groupby on (user, window_start). SQL mirror
+    enumerates the same window starts with generate_series."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    n_win = size_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        base = (ts // hop_us) * hop_us  # latest window start containing ts
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        starts, uids, vals = [], [], []
+        for j in range(n_win):
+            starts.append(base - j * hop_us)
+            uids.append(uid)
+            vals.append(val)
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate(uids)),
+                "window_start": pa.array(
+                    np.concatenate(starts).astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "value": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value_e4"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("window_start"),
+            "window_start",
+            pc.cast(t["window_start"], pa.timestamp("us")),
+        )
+        return scale_int(t, {"sum_value_e4": 10_000})
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -260,37 +260,36 @@ class Crawler:
         if revisited:
             counters.append((-1, "revisited", int(revisited)))
 
+        # single-pass epochs (canonical store ⇒ urls unique ⇒ no dirty-
+        # variant winners): the fetch chain stays LAZY and fuses with
+        # write-out → extract → admit into ONE streaming execution; the
+        # fetched-meta frame is read back from the (tiny columns of the)
+        # out parts afterwards. The general path materializes fetch first
+        # and resolves duplicate-canonical winners from one meta projection.
+        single_pass = cfg.assume_canonical_pages
         t0 = _t()
         fetched_ds = fetch_sim(
-            sched, cfg.pages_paths, cfg.assume_canonical_pages, self.pages_ds
+            sched,
+            cfg.pages_paths,
+            cfg.assume_canonical_pages,
+            self.pages_ds,
+            materialize=not single_pass,
         )
-        # ONE pass over the materialized blocks gives fetched-meta AND the
-        # dirty-variant winner set (no separate count()/pairs executions)
-        meta = fetched_ds.select_columns(
-            ["url", "raw_url", "fp64", "partition", "n_links"]
-        ).to_pandas()
-        if meta.empty:  # empty to_pandas may drop the schema columns
-            meta = pd.DataFrame(
-                {"url": [], "raw_url": [], "fp64": [], "partition": [], "n_links": []}
-            )
-        winners = winner_raw_urls(meta) if len(meta) else None
-        if winners is not None:
-            meta = meta[meta["raw_url"].isin(winners)]
-        fmeta = meta.drop(columns=["raw_url"]).reset_index(drop=True)
-        stage_sec["fetch"] = round(_t() - t0, 3)
-        counters += _per_partition_counts(fmeta, "fetched", epoch)
-        hit_mask = np.isin(
-            sched["fp64"].to_numpy(dtype=np.uint64),
-            fmeta["fp64"].to_numpy(dtype=np.uint64),
-        )
-        missed = sched[~hit_mask]
-        counters += _per_partition_counts(missed, "errors", epoch)
-        self.strategy.page_crawled(fmeta)
-        if len(missed):
-            self.strategy.page_error(missed)
-        if not fmeta.empty:
-            le = fmeta.groupby("partition")["n_links"].sum()
-            counters += [(int(p), "links_extracted", int(v)) for p, v in le.items()]
+        winners = None
+        fmeta = None
+        if not single_pass:
+            meta = fetched_ds.select_columns(
+                ["url", "raw_url", "fp64", "partition", "n_links"]
+            ).to_pandas()
+            if meta.empty:  # empty to_pandas may drop the schema columns
+                meta = pd.DataFrame(
+                    {"url": [], "raw_url": [], "fp64": [], "partition": [], "n_links": []}
+                )
+            winners = winner_raw_urls(meta) if len(meta) else None
+            if winners is not None:
+                meta = meta[meta["raw_url"].isin(winners)]
+            fmeta = meta.drop(columns=["raw_url"]).reset_index(drop=True)
+            stage_sec["fetch"] = round(_t() - t0, 3)
 
         ck.prepare(epoch)
 
@@ -368,6 +367,37 @@ class Crawler:
             .to_pandas()
         )
         stage_sec["extract_admit_offer"] = round(_t() - t0, 3)
+        if single_pass:
+            # fetched-meta from the out parts this execution just wrote
+            out_dir = ck.out_dir(epoch)
+            parts = [
+                pq.read_table(
+                    os.path.join(out_dir, f),
+                    columns=["url", "fp64", "partition", "n_links"],
+                )
+                for f in sorted(os.listdir(out_dir))
+                if f.endswith(".parquet")
+            ]
+            fmeta = (
+                pa.concat_tables(parts).to_pandas()
+                if parts
+                else pd.DataFrame({"url": [], "fp64": [], "partition": [], "n_links": []})
+            )
+        # counter segments in canonical order: fetched/errors/extracted,
+        # then the gate partials
+        counters += _per_partition_counts(fmeta, "fetched", epoch)
+        hit_mask = np.isin(
+            sched["fp64"].to_numpy(dtype=np.uint64),
+            fmeta["fp64"].to_numpy(dtype=np.uint64),
+        )
+        missed = sched[~hit_mask]
+        counters += _per_partition_counts(missed, "errors", epoch)
+        self.strategy.page_crawled(fmeta)
+        if len(missed):
+            self.strategy.page_error(missed)
+        if not fmeta.empty:
+            le = fmeta.groupby("partition")["n_links"].sum()
+            counters += [(int(p), "links_extracted", int(v)) for p, v in le.items()]
         if not gate_df.empty:
             gate = gate_df.groupby("partition").sum()
             for p, r in gate.iterrows():

@@ -120,6 +120,7 @@ def fetch_sim(
     pages_paths: list[str],
     assume_canonical: bool = False,
     pages_ds=None,
+    materialize: bool = True,
 ):
     """scheduled (driver df with url/fp64/score/depth/partition/host) →
     fetched MATERIALIZED Dataset (see _FetchFilter output schema, INCLUDING
@@ -155,9 +156,13 @@ def fetch_sim(
         # the scheduled set ONCE via the object store and filters at Arrow
         # speed.
         ds = rd.read_parquet([pages_paths[p] for p in needed])
-    return ds.map_batches(
+    out = ds.map_batches(
         _FetchFilter(sched_ref, assume_canonical), batch_format="pyarrow"
-    ).materialize()
+    )
+    # materialize=False (single-pass epochs over canonical stores): the
+    # caller fuses this chain with write-out/extract/admit — ONE streaming
+    # execution, html never re-enters the object store as a second copy
+    return out.materialize() if materialize else out
 
 
 def winner_raw_urls(meta: pd.DataFrame) -> set | None:

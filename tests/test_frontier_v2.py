@@ -188,3 +188,25 @@ def test_pages_cache_parity(ray_session, fixture_dir, tmp_path):
     pd.testing.assert_frame_equal(o1, o2)
     assert np.array_equal(a1["seen"], a2["seen"])
     assert s1 == s2
+
+
+def test_single_pass_canonical_parity(ray_session, tmp_path_factory, tmp_path):
+    """assume_canonical_pages fuses fetch into the extract chain (ONE
+    execution per epoch); on a canonical fixture (no dirty variants) the
+    crawl must be identical to the two-pass path."""
+    from dataclasses import replace
+
+    d = str(tmp_path_factory.mktemp("fxc") / "clean")
+    spec = replace(synth.SMOKE, dirty_variants=False)
+    fx = synth.write_fixture(d, spec)
+    c1, s1 = _crawl(fx, str(tmp_path / "ck_two"))
+    c2, s2 = _crawl(fx, str(tmp_path / "ck_one"), assume_canonical_pages=True)
+    a1, a2 = c1.artifacts(), c2.artifacts()
+    o1 = a1["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    o2 = a2["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o2)
+    assert np.array_equal(a1["seen"], a2["seen"])
+    co1 = a1["counters"].to_pandas().sort_values(["epoch", "partition", "metric"]).reset_index(drop=True)
+    co2 = a2["counters"].to_pandas().sort_values(["epoch", "partition", "metric"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(co1, co2)
+    assert s1 == s2

@@ -115,6 +115,17 @@ def test_ann_lsh_recall(contract):
     assert recall >= 0.2, f"LSH recall {recall}"  # 1-bit probing, small data
 
 
+def test_ann_ivf_recall(contract):
+    """IVF ANN (coarse-quantizer cells, n_probe nearest) vs brute force."""
+    queries, _ = contract
+    brute = _to_df(queries["ann_bruteforce"](SF_DIR))
+    ivf = _to_df(queries["ann_ivf"](SF_DIR))
+    b = set(zip(brute["query_id"], brute["vec_id"]))
+    v = set(zip(ivf["query_id"], ivf["vec_id"]))
+    recall = len(b & v) / max(1, len(b))
+    assert recall >= 0.4, f"IVF recall {recall}"
+
+
 def test_entry_and_crawl_queries(contract):
     import __ray_entry__ as e
 
