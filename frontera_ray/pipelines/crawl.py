@@ -421,6 +421,47 @@ class Crawler:
             for p, c in r["per_partition"].items():
                 counters.append((int(p), "links_queued", int(c)))
 
+        # strategy.schedule(url, score) injections (§2.10 service parity):
+        # drained once per epoch through a seeds-mode offer/resolve cycle —
+        # deduped against the seen set, score taken verbatim
+        injected = self.strategy.drain_injected()
+        inj_res: list[dict] = []
+        if injected:
+            seeds_tbl = pa.table(
+                {
+                    "url": pa.array([u for u, _ in injected], pa.string()),
+                    "score": pa.array([s for _, s in injected], pa.float64()),
+                }
+            )
+            from ..stages.links import seeds_to_frontier
+
+            rows = seeds_to_frontier(seeds_tbl, cfg)
+            if cfg.obey_robots and rows.num_rows:
+                mask = self.politeness_ref.allowed_mask(
+                    rows["host"].to_pylist(), rows["url"].to_pylist()
+                )
+                rows = rows.filter(pa.array(mask))
+            ray.get(
+                [
+                    s.begin_epoch.remote(epoch, cfg.policy, cfg.num_partitions, "seeds")
+                    for s in self.shards
+                ]
+            )
+            offer_seed_rows(self.shards, rows)
+            inj_res = ray.get(
+                [
+                    s.resolve.remote(
+                        os.path.join(qdir, f"inject-shard-{k}.parquet"),
+                        os.path.join(seen_dir, f"shard-{k}.bin"),
+                    )
+                    for k, s in enumerate(self.shards)
+                ]
+            )
+            new_count += sum(r["count"] for r in inj_res)
+            for r in inj_res:
+                for p, c in r["per_partition"].items():
+                    counters.append((int(p), "injected", int(c)))
+
         # state transitions for the scheduled rows → done delta
         done = sched.copy()
         done["state"] = np.where(hit_mask, S.CRAWLED, S.ERROR).astype(np.uint8)
@@ -468,9 +509,10 @@ class Crawler:
         )
         nq_count = fstate["queued"] - len(new_tombs) + new_count
         qmap = {p: list(files) for p, files in fstate["map"].items()}
-        for k, r in enumerate(resolves):
-            if r["count"]:
-                qmap.setdefault(k, []).append(r["path"])
+        for res_list in (resolves, inj_res):
+            for k, r in enumerate(res_list):
+                if r["count"]:
+                    qmap.setdefault(k, []).append(r["path"])
         if len(tomb) and (
             len(tomb) >= cfg.frontier_compact_min and 2 * len(tomb) >= nq_count + len(tomb)
         ):
@@ -576,6 +618,27 @@ class Crawler:
         summary["seen"] = sum(ray.get([s.size.remote() for s in self.shards]))
         self.strategy.finished(summary)
         return summary
+
+    # -- strategy services ---------------------------------------------
+    def refresh_states(self, urls: list[str]) -> np.ndarray:
+        """Seen-ness per url (reference BaseCrawlingStrategy.refresh_states
+        analogue): enrich → route fps to their owning shard → contains()."""
+        from ..stages.enrich import enrich_urls
+
+        t = enrich_urls(
+            pa.table({"url": pa.array(urls, pa.string())}), self.cfg.num_partitions
+        )
+        fps = t["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        parts = t["partition"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(self.shards)
+        out = np.zeros(len(urls), dtype=bool)
+        futs = []
+        for s in np.unique(parts % k):
+            idx = np.nonzero(parts % k == s)[0]
+            futs.append((idx, self.shards[int(s)].contains.remote(fps[idx])))
+        for idx, f in futs:
+            out[idx] = ray.get(f)
+        return out
 
     # -- parity artifacts ----------------------------------------------
     def artifacts(self) -> dict:

@@ -24,6 +24,19 @@ import pyarrow as pa
 from ..functions.urlnorm import resolve_link
 
 _HREF_RE = re.compile(rb'<a\s[^>]*href="([^"#]*)(?:#[^"]*)?"', re.I)
+_BASE_RE = re.compile(r"^https?://[^/]+")
+
+
+def _fast_resolve(base_root: str | None, base_url: str, href: str) -> str:
+    """urljoin with the two dominant shapes special-cased (absolute hrefs
+    and root-relative hrefs are ~all of real link graphs; both produce
+    byte-identical results to urljoin — covered by the conformance parity
+    tests, which resolve via stdlib urljoin in the oracle)."""
+    if href.startswith(("http://", "https://")):
+        return href
+    if base_root is not None and href.startswith("/") and not href.startswith("//"):
+        return base_root + href
+    return resolve_link(base_url, href)
 
 
 class ExtractLinks:
@@ -51,17 +64,21 @@ class ExtractLinks:
         c_poutdeg: list[int] = []
         c_depth: list[int] = []
         findall = self.href_re.findall
+        base_match = _BASE_RE.match
         for u, fp, sc, dp, html in zip(urls, fps, scores, depths, htmls):
             if not html:
                 continue
             hrefs = findall(html)
             outdeg = len(hrefs)
+            m = base_match(u)
+            root = m.group(0) if m else None
+            dp1 = dp + 1
             for h in hrefs:
-                c_url.append(resolve_link(u, h.decode("utf8", "ignore")))
+                c_url.append(_fast_resolve(root, u, h.decode("utf8", "ignore")))
                 c_pfp.append(fp)
                 c_pscore.append(sc)
                 c_poutdeg.append(outdeg)
-                c_depth.append(dp + 1)
+                c_depth.append(dp1)
         n = len(c_url)
         return pa.table(
             {

@@ -87,7 +87,26 @@ class CrawlStrategy:
     The object is pickled into the stages that call its hooks (AdmitLinks
     for the link filter; the driver for the rest), so implementations must
     be picklable and side-effect-free except through their return values.
+
+    Services (reference: BaseCrawlingStrategy.schedule(request, score) /
+    refresh_states — frontera/strategy/__init__.py, approx): hooks run
+    driver-side and may call ``self.schedule(url, score)`` to inject URLs;
+    the crawler drains the buffer each epoch and admits them through the
+    seed offer/resolve path (deduped against the seen set, score taken
+    verbatim). ``Crawler.refresh_states(urls)`` answers seen-ness.
     """
+
+    def schedule(self, url: str, score: float = 1.0) -> None:
+        """Inject a URL into the frontier (drained once per epoch).
+        Lazy buffer: subclasses need not call super().__init__()."""
+        if not hasattr(self, "_injected"):
+            self._injected: list[tuple[str, float]] = []
+        self._injected.append((url, float(score)))
+
+    def drain_injected(self) -> list[tuple[str, float]]:
+        out = getattr(self, "_injected", [])
+        self._injected = []
+        return out
 
     def read_seeds(self, seeds, cfg):
         """seeds: pa.Table(url, score?) → FRONTIER-shaped QUEUED rows.

@@ -94,3 +94,39 @@ def test_revisit_off_means_no_duplicates(ray_session, fixture_dir, tmp_path):
     crawler, _ = run_crawl(cfg, resume=False)
     order = crawler.artifacts()["crawl_order"].to_pandas()
     assert order["url"].is_unique
+
+
+def test_strategy_schedule_injection_and_refresh_states(
+    ray_session, fixture_dir, tmp_path
+):
+    """§2.10 services: a strategy injects URLs via self.schedule(url, score)
+    from its page_crawled hook; they are admitted (deduped, score verbatim)
+    and crawled in later epochs. refresh_states answers seen-ness."""
+    import numpy as np
+
+    from frontera_ray.pipelines.crawl import run_crawl
+    from frontera_ray.strategy import CrawlStrategy
+
+    class Inject(CrawlStrategy):
+        def __init__(self):
+            self.fired = False
+
+        def page_crawled(self, fmeta):
+            if not self.fired and len(fmeta):
+                self.fired = True
+                # site3 is normally reached late via cross-host links;
+                # inject a deep page directly with a high score
+                self.schedule("http://site3.test/p7", score=0.99)
+                self.schedule("http://site3.test/p7", score=0.5)  # dup
+
+    cfg = _cfg(fixture_dir, str(tmp_path / "ck_inj"), max_epochs=4)
+    crawler, summary = run_crawl(cfg, resume=False, strategy=Inject())
+    order = crawler.artifacts()["crawl_order"].to_pandas()
+    assert "http://site3.test/p7" in set(order["url"])
+    counters = crawler.artifacts()["counters"].to_pandas()
+    inj = counters[counters["metric"] == "injected"]["value"].sum()
+    assert inj == 1  # dup deduped
+    states = crawler.refresh_states(
+        ["http://site3.test/p7", "http://site0.test/p0", "http://nowhere.test/x"]
+    )
+    assert states.tolist() == [True, True, False]

@@ -162,3 +162,25 @@ class TestFingerprint:
         assert [int(c) for c in cr] == [signed_crc32(h) for h in hosts]
         parts = partitions_from_host_hash(cr, 4)
         assert [int(p) for p in parts] == [partition_for_host(h, 4) for h in hosts]
+
+
+def test_fast_resolve_matches_urljoin():
+    """ExtractLinks' fast-path resolver must be byte-identical to stdlib
+    urljoin (which the conformance oracle uses) on every href shape."""
+    from urllib.parse import urljoin
+
+    from frontera_ray.stages.extract import _BASE_RE, _fast_resolve
+
+    bases = [
+        "http://site0.test/p1", "http://h.test/", "https://h.test:8080/a/b",
+        "http://h.test/a/b?q=1", "http://h.test",
+    ]
+    hrefs = [
+        "/p2", "http://x.test/p0", "https://y.test/", "p3", "../up",
+        "//cdn.test/x", "", "/", "/dead9", "?q=2", "./z",
+    ]
+    for b in bases:
+        m = _BASE_RE.match(b)
+        root = m.group(0) if m else None
+        for h in hrefs:
+            assert _fast_resolve(root, b, h) == urljoin(b, h), (b, h)
