@@ -210,3 +210,27 @@ def test_single_pass_canonical_parity(ray_session, tmp_path_factory, tmp_path):
     co2 = a2["counters"].to_pandas().sort_values(["epoch", "partition", "metric"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(co1, co2)
     assert s1 == s2
+
+
+def test_seen_disk_spill_crawl_parity(ray_session, fixture_dir, tmp_path):
+    """Forcing the seen store to spill to disk mid-crawl must not change
+    any artifact (exactness of the memmapped-run probes under the crawl)."""
+    c1, s1 = _crawl(fixture_dir, str(tmp_path / "ck_mem"))
+    c2, s2 = _crawl(
+        fixture_dir,
+        str(tmp_path / "ck_spill"),
+        seen_spill_threshold=16,
+        seen_spill_dir=str(tmp_path / "spill"),
+        seen_max_resident_keys=8,
+    )
+    import os
+
+    assert any(
+        f.endswith(".npy") for f in os.listdir(tmp_path / "spill")
+    ), "no disk spill happened"
+    a1, a2 = c1.artifacts(), c2.artifacts()
+    o1 = a1["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    o2 = a2["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o2)
+    assert np.array_equal(a1["seen"], a2["seen"])
+    assert s1 == s2
