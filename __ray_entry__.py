@@ -63,6 +63,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from frontera_ray.ops import (
         ann,
+        corpus,
         dedup,
         multimodal,
         relational,
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": relational.window_hopping,
         # dedup suite
         "exact_dedup": dedup.exact_dedup,
+        "clean_corpus": corpus.clean_corpus,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
@@ -312,6 +314,20 @@ def oracle_sql() -> dict[str, str]:
         # full MinHash+LSH in SQL (shingles → splitmix64 64-perm signatures
         # → banding → capped buckets → est-Jaccard ≥ threshold)
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+        # the whole C4-style cleaning pipeline as ONE oracle: quality gate
+        # → exact dedup winners → non-cascading near-dup removal against
+        # the SQL MinHash+LSH pair set
+        "clean_corpus": (
+            f"WITH {_minhash_ctes()}, "
+            "pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5), "
+            "q AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents WHERE len(string_split(text, ' ')) >= 50), "
+            "d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text), "
+            "surv AS (SELECT q.doc_id, q.n_tokens FROM q JOIN d USING (doc_id)) "
+            "SELECT doc_id, n_tokens FROM surv s "
+            "WHERE NOT EXISTS (SELECT 1 FROM pairs p JOIN surv s2 ON p.doc_a = s2.doc_id "
+            "WHERE p.doc_b = s.doc_id)"
+        ),
         # exact 3-gram Jaccard over the LSH candidate set (est ≥ 0.2)
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         # 64-bit SimHash in SQL: per-token md5-derived uint64, ±1 bit votes,
