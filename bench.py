@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "semi_join",
     "schedule_topk",
     "exact_dedup",
+    "clean_corpus",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_dup_pairs",

@@ -574,7 +574,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 7, bucket_cap: int | None = No
 
 
 # ---------------------------------------------- embedding cosine near-dup --
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4, block: int = 4096):
     """Embedding-cosine near-dup, blocked by label (the blocking key stands
     in for an LSH/IVF bucket): within each label group, one numpy matmul
     gives all pairwise cosines; pairs ≥ threshold survive. SQL-checkable via
@@ -587,10 +587,25 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mm = m / norms
-        cos = mm @ mm.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = cos[iu] >= threshold
-        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        n = len(ids)
+        la, lb = [], []
+        # blocked upper-triangle matmul: memory stays ≤ block² regardless
+        # of how big a label group gets (the 10^10-scale guard)
+        for i0 in range(0, n, block):
+            a_blk = mm[i0 : i0 + block]
+            for j0 in range(i0, n, block):
+                cos = a_blk @ mm[j0 : j0 + block].T
+                if i0 == j0:
+                    iu = np.triu_indices(cos.shape[0], k=1, m=cos.shape[1])
+                    mask = cos[iu] >= threshold
+                    ai, bj = iu[0][mask] + i0, iu[1][mask] + j0
+                else:
+                    ai, bj = np.nonzero(cos >= threshold)
+                    ai, bj = ai + i0, bj + j0
+                la.append(ids[ai])
+                lb.append(ids[bj])
+        a = np.concatenate(la) if la else np.zeros(0, np.int64)
+        b = np.concatenate(lb) if lb else np.zeros(0, np.int64)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"vec_a": lo.astype(np.int64), "vec_b": hi.astype(np.int64)})
 

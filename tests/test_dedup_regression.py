@@ -69,3 +69,12 @@ def test_simhash_default_is_superset_of_capped():
         for i, j, dd in zip(iu[0][ok], iu[1][ok], d[ok])
     )
     assert [tuple(r) for r in got.to_numpy()] == brute
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_pairs_blocked_matches_unblocked():
+    """The blocked upper-triangle matmul (block ≪ group size) must emit
+    exactly the same pair table as the default block through the REAL op."""
+    full = dedup.embedding_dup_pairs(SF)
+    tiny = dedup.embedding_dup_pairs(SF, block=7)
+    assert tiny.equals(full)
