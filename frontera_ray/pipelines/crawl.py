@@ -135,7 +135,11 @@ class Crawler:
                 for s in self.shards
             ]
         )
-        n_seeds = pq.ParquetFile(cfg.seeds_path).metadata.num_rows
+        n_seeds = (
+            pq.ParquetFile(cfg.seeds_path).metadata.num_rows
+            if cfg.seeds_path.endswith(".parquet")
+            else 0  # text seed lists use the driver path (S1 line format)
+        )
         if n_seeds >= cfg.seed_driver_threshold:
             # split the (row-grouped) seed file into parallel admission tasks
             import ray as _r

@@ -130,3 +130,30 @@ def test_strategy_schedule_injection_and_refresh_states(
         ["http://site3.test/p7", "http://site0.test/p0", "http://nowhere.test/x"]
     )
     assert states.tolist() == [True, True, False]
+
+
+def test_crawl_with_txt_seed_file(ray_session, fixture_dir, tmp_path):
+    """S1 line-format seeds drive a full crawl (regression: the seed-count
+    probe must not assume parquet)."""
+    import pyarrow.parquet as pq
+
+    from frontera_ray.pipelines.crawl import run_crawl
+
+    seeds = pq.read_table(fixture_dir["seeds_path"]).to_pandas()
+    txt = tmp_path / "seeds.txt"
+    txt.write_text(
+        "# seed list\n"
+        + "\n".join(f"{r.url}\t{r.score}" for r in seeds.itertuples())
+        + "\n"
+    )
+    cfg = _cfg(fixture_dir, str(tmp_path / "ck_txt"), max_epochs=3)
+    from dataclasses import replace
+
+    cfg = replace(cfg, seeds_path=str(txt))
+    crawler, summary = run_crawl(cfg, resume=False)
+    ref_cfg = _cfg(fixture_dir, str(tmp_path / "ck_ref"), max_epochs=3)
+    ref, ref_summary = run_crawl(ref_cfg, resume=False)
+    o1 = crawler.artifacts()["crawl_order"].to_pandas().sort_values("seq")
+    o2 = ref.artifacts()["crawl_order"].to_pandas().sort_values("seq")
+    assert o1["url"].tolist() == o2["url"].tolist()
+    assert summary["fetched"] == ref_summary["fetched"]
