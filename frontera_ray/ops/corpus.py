@@ -55,7 +55,9 @@ def clean_corpus(sf_dir: str, min_tokens: int = 50):
             }
         )
 
-    gated = docs.map_batches(quality, batch_format="pyarrow")
+    # materialize once: the survivor table feeds BOTH the winner groupby
+    # and the final filter (small: ids + hashes + counts, no text)
+    gated = docs.map_batches(quality, batch_format="pyarrow").materialize()
     # exact dedup among survivors: ONE shuffle on the text hash
     winners = (
         gated.groupby("h").aggregate(Min("doc_id", alias_name="doc_id")).to_pandas()

@@ -88,10 +88,25 @@ class MinHashStage:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        sigs = [
-            _minhash_sig(_shingle_hashes(text, self.k)).tobytes()
-            for text in t["text"].to_pylist()
-        ]
+        texts = t["text"].to_pylist()
+        shingles = [_shingle_hashes(text, self.k) for text in texts]
+        lens = np.array([len(s) for s in shingles], dtype=np.int64)
+        n = len(texts)
+        out = np.full((n, _NUM_PERM), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+        nz = np.nonzero(lens)[0]
+        if len(nz):
+            # ONE (total_shingles × 64) mix matrix for the whole batch,
+            # segment-min per doc (np.minimum.reduceat) — identical values
+            # to the per-doc path, ~none of its allocation churn
+            concat = np.concatenate([shingles[i] for i in nz])
+            seeds = np.arange(1, _NUM_PERM + 1, dtype=np.uint64) * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+            mat = splitmix64(concat[:, None] ^ seeds[None, :])
+            starts = np.zeros(len(nz), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nz])[:-1]
+            out[nz] = np.minimum.reduceat(mat, starts, axis=0)
+        sigs = [out[i].tobytes() for i in range(n)]
         return pa.table(
             {"doc_id": t["doc_id"], "sig": pa.array(sigs, pa.binary())}
         )
