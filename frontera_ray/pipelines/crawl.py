@@ -96,6 +96,7 @@ class Crawler:
             cfg.seen_max_resident_keys,
         )
         self.politeness_ref = None
+        self.host_caps = None  # Crawl-delay caps; filled by _build_politeness
         self.strategy = strategy if strategy is not None else CrawlStrategy()
         self.seq = 0
         # one materialized pages Dataset shared by robots collection and
