@@ -412,6 +412,25 @@ def oracle_sql() -> dict[str, str]:
             "/ greatest(len(string_split(text,' ')), 1) * 1000000 + 0.5) AS BIGINT) AS avg_tok_len_e6 "
             "FROM documents"
         ),
+        # the STUB media decoder is a deterministic high-nibble histogram
+        # over the (ASCII) payload bytes — exactly expressible in SQL, so
+        # even the multimodal plumbing gets a value-hash oracle
+        "media_features": (
+            "WITH nib AS (SELECT doc_id AS media_id, "
+            "ascii(substr(text, CAST(i AS INT), 1)) // 16 AS nibble "
+            "FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i "
+            "FROM documents)), "
+            "counts AS (SELECT media_id, nibble, count(*)::DOUBLE AS c "
+            "FROM nib GROUP BY media_id, nibble), "
+            "tot AS (SELECT media_id, sum(c) AS t FROM counts GROUP BY media_id), "
+            "nrm AS (SELECT counts.media_id, sqrt(sum(pow(c / t, 2))) AS v "
+            "FROM counts JOIN tot USING (media_id) GROUP BY counts.media_id) "
+            "SELECT d.doc_id AS media_id, "
+            "CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
+            "CAST(length(d.text) AS BIGINT) AS n_bytes, "
+            "CAST(floor(nrm.v * 1000000 + 0.5) AS BIGINT) AS feature_norm_e6 "
+            "FROM documents d JOIN nrm ON nrm.media_id = d.doc_id"
+        ),
         "embedding_dup_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
             "FROM embeddings a JOIN embeddings b "

@@ -35,15 +35,16 @@ FEATURE_DIM = 16
 
 
 def fake_decode(payload: bytes) -> np.ndarray:
-    """STUB decoder: deterministic 16-bin byte histogram, normalized.
+    """STUB decoder: deterministic 16-bin high-nibble byte histogram,
+    normalized (float64 so the DuckDB oracle can mirror the arithmetic).
 
     A real build replaces this body with PIL/libav decode + model feature
     extraction; everything around it (schema, batching, actor pool) stays.
     """
     if not payload:
-        return np.zeros(FEATURE_DIM, dtype=np.float32)
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
     arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float32)
+    hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
     return hist / max(1.0, hist.sum())
 
 
@@ -58,16 +59,21 @@ class MediaFeatureStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         feats = [fake_decode(p) for p in t["payload"].to_pylist()]
-        mat = np.stack(feats) if feats else np.zeros((0, FEATURE_DIM), np.float32)
+        mat = np.stack(feats) if feats else np.zeros((0, FEATURE_DIM), np.float64)
+        norm_e6 = np.floor(
+            np.linalg.norm(mat, axis=1) * 1_000_000 + 0.5
+        ).astype(np.int64)
         return pa.table(
             {
                 "media_id": t["media_id"],
                 "media_type": t["media_type"],
                 "n_bytes": t["n_bytes"],
-                "feature": pa.array(list(mat), pa.list_(pa.float32(), FEATURE_DIM)),
-                "feature_norm": pa.array(
-                    np.round(np.linalg.norm(mat, axis=1), 6), pa.float64()
+                # storage stays compact float32; math is float64 (oracle)
+                "feature": pa.array(
+                    [list(map(float, f)) for f in mat.astype(np.float32)],
+                    pa.list_(pa.float32(), FEATURE_DIM),
                 ),
+                "feature_norm_e6": pa.array(norm_e6, pa.int64()),
             }
         )
 
@@ -107,7 +113,7 @@ class ResizeStage:
         factor = FEATURE_DIM // self.out_dim
         small = [f.reshape(self.out_dim, factor).sum(axis=1) for f in feats]
         out = t.drop_columns(
-            [c for c in ("feature", "feature_norm") if c in t.schema.names]
+            [c for c in ("feature", "feature_norm_e6") if c in t.schema.names]
         )
         return out.append_column(
             "feature_small",
