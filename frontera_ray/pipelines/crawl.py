@@ -1,25 +1,32 @@
 """The epoch-loop crawl driver (SURVEY.md §3.4) — replaces all three
 reference entry points (local manager frontera/core/manager.py:~100-400,
 strategy worker worker/strategy.py, db worker worker/db.py — approximate
-cites, SURVEY.md §0) with one plain-Python loop over Ray Data stages:
+cites, SURVEY.md §0) with one plain-Python loop over Ray Data stages
+(round-2 shape — shuffle-free, O(delta) frontier maintenance):
 
     epoch e:
-      sched    = schedule(queued_e)                 # T3/O1-O4 groupby top-k
-      fetched  = fetch_sim(sched ⋈ pages)           # J1 broadcast join, pruned scan
-      out_e    = project(fetched) → parquet         # byte-identical `text`
-      links    = extract(fetched)                   # M6 map_batches
-      cand     = admit(links) |> groupby(fp64)      # M7/M8 gate + A3/A4 dedup+score
-      new      = seen_filter(cand)                  # T1/J3 shard actors
-      queued_{e+1} = queued_e − sched + new         # state machine transitions
-      checkpoint(queued, done Δ, out, order, counters, seen)   # lineage
+      sched = schedule_files(frontier file map − tombstones)
+                                   # T3/O1-O4: one plain task per partition
+                                   # (files are partition-pure), NO shuffle
+      fetch→out→extract→admit→offer  # ONE fused streaming execution on
+                                   # canonical stores (two-pass only when
+                                   # dirty URL variants need winner picks)
+      resolve (shard actors)       # A3/A4 dedup+score, per-partition
+                                   # QUEUED delta + seen blob written
+                                   # shard-side
+      frontier_{e+1} = files + deltas; sched fps tombstoned; compaction
+                                   # rewrites only when tombstones dominate
+      checkpoint(manifest: file map, tombstones, done Δ, out, order,
+                 counters, seen)   # manifest-last atomicity, exact resume
 
 State machine parity with the reference (NOT_CRAWLED→QUEUED→CRAWLED/ERROR):
 admission = NOT_CRAWLED→QUEUED (guarded by the seen set, J3/J4); fetch hit =
 CRAWLED(200); fetch miss = ERROR(404 in the simulator).
 
-Everything wide stays a Dataset; the driver only ever holds the scheduled
-batch (≤ P × max_next_requests rows), per-epoch counters, and the crawl
-order — all bounded by the politeness budget, independent of frontier size.
+Everything wide stays a Dataset or a per-partition task; the driver only
+ever holds the scheduled batch (≤ P × max_next_requests rows), per-epoch
+counters, and the crawl order — all bounded by the politeness budget,
+independent of frontier size.
 """
 
 from __future__ import annotations
