@@ -6,8 +6,13 @@ frontera/core/components.py:~160-200; memory heap
 contrib/backends/memory/__init__.py:~40-150; HBase priority row-key scan
 hbase/__init__.py:~80-300 — approximate cites, SURVEY.md §0).
 
-Dataset-native queue (SURVEY.md §2.3 T3 "preferred" variant): the QUEUED
-slice of the frontier goes through ONE ``groupby(partition).map_groups``:
+Two implementations share one ranking kernel (_schedule_group):
+
+* ``schedule_files`` (the crawl path, round 2): one plain Ray task per
+  partition over the partition-pure frontier file map — NO all-to-all
+  exchange; see the section comment below.
+* ``schedule`` (Dataset path, kept for ad-hoc frontiers + the equivalence
+  tests): the QUEUED slice goes through ONE ``groupby(partition).map_groups``:
 
   within each partition (pandas group, deterministic):
     1. sort by the policy's total order (strategy.POLICY_KEYS, fp64 tiebreak)
