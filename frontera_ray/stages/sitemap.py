@@ -35,10 +35,19 @@ class ExtractSitemapLinks:
     def __init__(self, epoch: int):
         self.epoch = epoch
 
+    @staticmethod
+    def is_sitemap_url(u: str) -> bool:
+        """Any *.xml whose filename mentions 'sitemap' (sitemap.xml,
+        sitemap1.xml, sitemap-news.xml…) — so <sitemapindex> children are
+        themselves followed when fetched (recursive index support)."""
+        if not u.endswith(".xml"):
+            return False
+        return "sitemap" in u.rsplit("/", 1)[-1]
+
     def __call__(self, t: pa.Table) -> pa.Table:
         urls, out = t["url"].to_pylist(), []
         for u, body in zip(urls, t["html"].to_pylist()):
-            if not u.endswith("/sitemap.xml"):
+            if not self.is_sitemap_url(u):
                 continue
             out.extend(parse_sitemap(body))
         n = len(out)
