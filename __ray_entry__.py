@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup suite
         "exact_dedup": dedup.exact_dedup,
         "clean_corpus": corpus.clean_corpus,
+        "minhash_signatures": dedup.minhash_signatures_hex,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
@@ -313,6 +314,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         # full MinHash+LSH in SQL (shingles → splitmix64 64-perm signatures
         # → banding → capped buckets → est-Jaccard ≥ threshold)
+        "minhash_signatures": (
+            f"WITH {_minhash_ctes()} "
+            "SELECT doc_id, string_agg(lpad(lower(hex(mv)), 16, '0'), '' ORDER BY i) AS sig_hex "
+            "FROM mh GROUP BY doc_id"
+        ),
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
         # the whole C4-style cleaning pipeline as ONE oracle: quality gate
         # → exact dedup winners → non-cascading near-dup removal against

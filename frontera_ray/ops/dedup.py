@@ -117,6 +117,23 @@ def minhash_signatures(sf_dir: str):
     return ds.map_batches(MinHashStage(), batch_format="pyarrow")
 
 
+def minhash_signatures_hex(sf_dir: str):
+    """(doc_id, sig_hex): the 64-perm signature as 64×16 hex digits in perm
+    order — the oracle-comparable projection of the binary signature (SQL
+    mirror: string_agg of the per-perm minima)."""
+
+    def to_hex(t: pa.Table) -> pa.Table:
+        hexes = [
+            "".join(f"{v:016x}" for v in np.frombuffer(s, dtype=np.uint64))
+            for s in t["sig"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "sig_hex": pa.array(hexes, pa.string())}
+        )
+
+    return minhash_signatures(sf_dir).map_batches(to_hex, batch_format="pyarrow")
+
+
 _LSH_ROUTE_GROUPS = 64  # bounded map_groups cardinality (gotcha: never
                         # one Python call per bucket — buckets are grouped
                         # into ≤ this many route groups, vectorized inside)
