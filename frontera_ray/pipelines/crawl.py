@@ -418,15 +418,44 @@ class Crawler:
         t0 = _t()
         qdir = ck.queued_dir(epoch)
         seen_dir = os.path.join(ck.epoch_dir(epoch), "seen")
-        resolves = ray.get(
-            [
-                s.resolve.remote(
-                    os.path.join(qdir, f"new-shard-{k}.parquet"),
-                    os.path.join(seen_dir, f"shard-{k}.bin"),
-                )
-                for k, s in enumerate(self.shards)
-            ]
+        resolve_futs = [
+            s.resolve.remote(
+                os.path.join(qdir, f"new-shard-{k}.parquet"),
+                os.path.join(seen_dir, f"shard-{k}.bin"),
+            )
+            for k, s in enumerate(self.shards)
+        ]
+
+        # overlap the shard resolve round with the driver-side done-delta
+        # and crawl-order writes (independent work)
+        done = sched.copy()
+        done["state"] = np.where(hit_mask, S.CRAWLED, S.ERROR).astype(np.uint8)
+        done["status_code"] = np.where(done["state"] == S.CRAWLED, 200, 404).astype(
+            np.int16
         )
+        done["fetched_epoch"] = np.int32(epoch)
+        done_tbl = (
+            pa.Table.from_pandas(
+                done.drop(columns=["budget_rank"]), preserve_index=False
+            )
+            .select(S.FRONTIER.names)
+            .cast(S.FRONTIER)
+        )
+        ck.write_small(epoch, "done", done_tbl)
+        order = pa.table(
+            {
+                "seq": pa.array(
+                    np.arange(self.seq, self.seq + len(sched), dtype=np.int64)
+                ),
+                "url": pa.array(sched["url"].to_numpy(), pa.string()),
+                "epoch": pa.array([epoch] * len(sched), pa.int32()),
+                "fetched": pa.array(hit_mask),
+            }
+        )
+        self.seq += len(sched)
+        ck.write_small(epoch, "crawl_order", order)
+
+        resolves = ray.get(resolve_futs)
         stage_sec["dedup_seen"] = round(_t() - t0, 3)
         new_count = sum(r["count"] for r in resolves)
         for r in resolves:
@@ -473,36 +502,6 @@ class Crawler:
             for r in inj_res:
                 for p, c in r["per_partition"].items():
                     counters.append((int(p), "injected", int(c)))
-
-        # state transitions for the scheduled rows → done delta
-        done = sched.copy()
-        done["state"] = np.where(hit_mask, S.CRAWLED, S.ERROR).astype(np.uint8)
-        done["status_code"] = np.where(done["state"] == S.CRAWLED, 200, 404).astype(
-            np.int16
-        )
-        done["fetched_epoch"] = np.int32(epoch)
-        done_tbl = (
-            pa.Table.from_pandas(
-                done.drop(columns=["budget_rank"]), preserve_index=False
-            )
-            .select(S.FRONTIER.names)
-            .cast(S.FRONTIER)
-        )
-        ck.write_small(epoch, "done", done_tbl)
-
-        # crawl order (the golden-sequence artifact)
-        order = pa.table(
-            {
-                "seq": pa.array(
-                    np.arange(self.seq, self.seq + len(sched), dtype=np.int64)
-                ),
-                "url": pa.array(sched["url"].to_numpy(), pa.string()),
-                "epoch": pa.array([epoch] * len(sched), pa.int32()),
-                "fetched": pa.array(hit_mask),
-            }
-        )
-        self.seq += len(sched)
-        ck.write_small(epoch, "crawl_order", order)
 
         # next frontier state = files + deltas, scheduled fps tombstoned —
         # O(delta) per epoch; compaction rewrites only when tombstones
