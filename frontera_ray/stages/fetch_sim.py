@@ -16,9 +16,10 @@ Everything in the batch path is Arrow-vectorized (round-2 fix for the
 round-1 per-row membership loop): membership + meta attach are ONE
 ``pc.index_in`` against the broadcast url array, and n_links is ONE
 ``pc.count_substring_regex`` over the html column. When the pages table
-stores canonical URLs (``assume_canonical``), the URL filter is pushed into
-the parquet scan so non-scheduled rows never enter the object store AND the
-per-batch canonicalization pass is skipped.
+stores canonical URLs (``assume_canonical``) the per-batch
+canonicalization pass is skipped and the caller may keep the chain lazy
+(single-execution epochs). With ``pages_ds`` the scan is replaced by
+already-materialized object-store blocks shared across epochs.
 
 Duplicate canonical urls in the pages table (dirty URL variants) are
 resolved deterministically: winner = lexicographically smallest raw url.
