@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches + sampling
         "hll_distinct_users": sketches.hll_distinct_users,
         "hash_sample": sketches.hash_sample,
+        "stratified_sample": sketches.stratified_sample,
         "regex_token_stats": sketches.regex_token_stats,
         # multimodal plumbing (stub decode, real actor/batch/schema path)
         "media_features": multimodal.media_features,
@@ -393,6 +394,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ts, lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) "
             "GROUP BY user_id"
+        ),
+        "stratified_sample": (
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE ('0x' || substr(md5(event_type || ':' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT "
+            "% 100 < 10"
         ),
         "hash_sample": (
             "SELECT event_id, event_type, value FROM events "

@@ -163,3 +163,28 @@ def regex_token_stats(sf_dir: str):
         .groupby("lang")
         .aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_regex_tokens"))
     )
+
+
+def stratified_sample(sf_dir: str, pct: int = 10):
+    """Deterministic per-stratum (event_type) sample: keep iff
+    md5(event_type || ':' || event_id) mod 100 < pct — every stratum gets
+    its own hash stream, so skewed strata sample at the same rate
+    (partition-independent, SQL-mirrored)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pylist()
+        types = t["event_type"].to_pylist()
+        mask = np.fromiter(
+            (
+                int(hashlib.md5(f"{et}:{i}".encode()).hexdigest()[:8], 16) % 100 < pct
+                for et, i in zip(types, ids)
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
