@@ -234,3 +234,28 @@ def test_seen_disk_spill_crawl_parity(ray_session, fixture_dir, tmp_path):
     pd.testing.assert_frame_equal(o1, o2)
     assert np.array_equal(a1["seen"], a2["seen"])
     assert s1 == s2
+
+
+def test_resume_across_compaction(ray_session, fixture_dir, tmp_path):
+    """Stopping after compacted epochs and resuming must reproduce the
+    uninterrupted crawl exactly (manifest file-map + tombstone reset)."""
+    from frontera_ray.pipelines.crawl import run_crawl
+
+    full_ck = str(tmp_path / "ck_full")
+    c_full, s_full = _crawl(
+        fixture_dir, full_ck, max_epochs=12, frontier_compact_min=1
+    )
+    part_ck = str(tmp_path / "ck_part")
+    _crawl(fixture_dir, part_ck, max_epochs=3, frontier_compact_min=1)
+    cfg = CrawlConfig(
+        pages_paths=fixture_dir["parts"],
+        seeds_path=fixture_dir["seeds_path"],
+        checkpoint_dir=part_ck,
+        max_epochs=12,
+        frontier_compact_min=1,
+    )
+    c_res, s_res = run_crawl(cfg, resume=True)
+    o1 = c_full.artifacts()["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    o2 = c_res.artifacts()["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o2)
+    assert np.array_equal(c_full.artifacts()["seen"], c_res.artifacts()["seen"])
