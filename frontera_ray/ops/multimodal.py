@@ -156,7 +156,7 @@ def media_pipeline(sf_dir: str):
     rows additionally frame-sampled. Returns per-media summary rows."""
     media = documents_as_media(sf_dir).materialize()
     feats = media.map_batches(
-        MediaFeatureStage, batch_format="pyarrow", batch_size=256, concurrency=2
+        MediaFeatureStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
     )
     small = feats.map_batches(ResizeStage(), batch_format="pyarrow")
     frames = media.map_batches(
@@ -184,6 +184,6 @@ def media_features(sf_dir: str):
         MediaFeatureStage,
         batch_format="pyarrow",
         batch_size=256,          # wide binary rows → small batches
-        concurrency=2,           # actor pool
+        concurrency=(1, 8),      # autoscaling actor pool (scales with load)
     )
     return feats.drop_columns(["feature"])  # fixed-width list stays Arrow-side; scalars for the check

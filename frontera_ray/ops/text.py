@@ -124,7 +124,9 @@ class LangIdStage:
 
 def lang_id(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+    # autoscaling actor pool: one actor minimum (model load happens once),
+    # up to 8 under load — sized so the stage never starves its peers
+    return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 8))
 
 
 def doc_fingerprints(sf_dir: str, window: int = 4, keep_mod: int = 8):
