@@ -259,3 +259,22 @@ def test_resume_across_compaction(ray_session, fixture_dir, tmp_path):
     o2 = c_res.artifacts()["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
     pd.testing.assert_frame_equal(o1, o2)
     assert np.array_equal(c_full.artifacts()["seen"], c_res.artifacts()["seen"])
+
+
+def test_distributed_seeds_with_politeness_actors(ray_session, fixture_dir, tmp_path):
+    """Combination path: Dataset seed admission routing robots checks
+    through the sharded politeness actor pool must equal the broadcast
+    driver path (robots-gated seeds identical)."""
+    c1, s1 = _crawl(fixture_dir, str(tmp_path / "ck_base"))
+    c2, s2 = _crawl(
+        fixture_dir,
+        str(tmp_path / "ck_combo"),
+        seed_driver_threshold=0,
+        politeness_actors=True,
+    )
+    a1, a2 = c1.artifacts(), c2.artifacts()
+    o1 = a1["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    o2 = a2["crawl_order"].to_pandas().sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o2)
+    assert np.array_equal(a1["seen"], a2["seen"])
+    assert s1 == s2
