@@ -16,6 +16,7 @@ Charikar, "Similarity estimation techniques from rounding algorithms"
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -117,21 +118,46 @@ def minhash_signatures(sf_dir: str):
     return ds.map_batches(MinHashStage(), batch_format="pyarrow")
 
 
+# Materialized signature Datasets, one per sf_dir per process (VERDICT r2
+# #2): the shingle+sign pass is the CPU-dominant stage of every MinHash op,
+# and minhash_lsh_pairs / ngram_jaccard_pairs / clean_corpus all consume
+# the SAME signatures — compute them once, keep the blocks in the object
+# store (distributed — the driver holds only the Dataset handle).
+_SIG_CACHE: dict[str, object] = {}
+
+
+def cached_signatures(sf_dir: str):
+    key = os.path.abspath(sf_dir)
+    ds = _SIG_CACHE.get(key)
+    if ds is None:
+        ds = minhash_signatures(sf_dir).materialize()
+        _SIG_CACHE[key] = ds
+    return ds
+
+
 def minhash_signatures_hex(sf_dir: str):
     """(doc_id, sig_hex): the 64-perm signature as 64×16 hex digits in perm
     order — the oracle-comparable projection of the binary signature (SQL
     mirror: string_agg of the per-perm minima)."""
 
+    _SENTINEL = b"\xff" * (_NUM_PERM * 8)  # zero-shingle (empty/ws-only) docs
+
     def to_hex(t: pa.Table) -> pa.Table:
+        sigs = t["sig"].to_pylist()
+        # drop shingle-less docs: the SQL mirror's sh/mh CTE chain has no
+        # row for them, so the sentinel row would diverge engine vs oracle
+        keep = np.array([s != _SENTINEL for s in sigs], dtype=bool)
+        t = t.filter(pa.array(keep))
         hexes = [
             "".join(f"{v:016x}" for v in np.frombuffer(s, dtype=np.uint64))
-            for s in t["sig"].to_pylist()
+            for s, k in zip(sigs, keep)
+            if k
         ]
         return pa.table(
             {"doc_id": t["doc_id"], "sig_hex": pa.array(hexes, pa.string())}
         )
 
-    return minhash_signatures(sf_dir).map_batches(to_hex, batch_format="pyarrow")
+    return cached_signatures(sf_dir).map_batches(to_hex, batch_format="pyarrow")
 
 
 _LSH_ROUTE_GROUPS = 64  # bounded map_groups cardinality (gotcha: never
@@ -159,7 +185,7 @@ def minhash_lsh_pairs(
     The shuffle payload is (band_key 32 B + sig 520 B) × 16 bands per doc
     (~9 KB/doc); html/text never moves. At 10^10 docs each route group
     streams independently — no driver materialization anywhere."""
-    sig_ds = minhash_signatures(sf_dir)
+    sig_ds = cached_signatures(sf_dir)
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -282,7 +308,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3):
     bucketed by hash(doc) % {_LSH_ROUTE_GROUPS}; pass 1 attaches doc_a's
     sorted-uint64 shingle blob, pass 2 attaches doc_b's and verifies with
     vectorized sorted-array intersection. Only candidate docs are
-    shingled; text never leaves its map_batches task."""
+    shingled; text never leaves its map_batches task. The candidate stage
+    reuses the process-wide materialized signature Dataset
+    (cached_signatures), so the 5-gram shingle+sign pass runs once even
+    when lsh_pairs / clean_corpus run in the same session (VERDICT r2 #2)."""
     import ray
 
     cand = minhash_lsh_pairs(sf_dir, threshold=0.2)

@@ -33,8 +33,14 @@ def _fast_resolve(base_root: str | None, base_url: str, href: str) -> str:
     byte-identical results to urljoin — covered by the conformance parity
     tests, which resolve via stdlib urljoin in the oracle)."""
     if href.startswith(("http://", "https://")):
-        return href
-    if base_root is not None and href.startswith("/") and not href.startswith("//"):
+        return href  # urljoin returns absolute refs verbatim (no dot removal)
+    if (
+        base_root is not None
+        and href.startswith("/")
+        and not href.startswith("//")
+        and "/." not in href  # dot segments ("/../x", "/a/./b") get urljoin's
+        # remove_dot_segments treatment — fall back to the exact slow path
+    ):
         return base_root + href
     return resolve_link(base_url, href)
 

@@ -45,7 +45,12 @@ class CuckooFilter:
         self.bucket_size = bucket_size
         self.mask = np.uint64(nb - 1)
         self.buckets = np.zeros((nb, bucket_size), dtype=np.uint16)
-        self.stash: set[int] = set()     # overflow after failed eviction chains
+        # overflow after failed eviction chains. Holds the HOMELESS
+        # FINGERPRINT (not the inserted key): the eviction walk displaces
+        # some victim's fingerprint out of the table, and stashing that
+        # fingerprint — rather than the key that triggered the walk — is
+        # what preserves the no-false-negative guarantee for the victim.
+        self.stash: set[int] = set()
         self.count = 0
         self._rng_state = np.uint64(seed * 2 + 1)   # deterministic eviction picks
 
@@ -67,10 +72,8 @@ class CuckooFilter:
         hit = (self.buckets[i1] == fps[:, None]).any(axis=1)
         hit |= (self.buckets[i2] == fps[:, None]).any(axis=1)
         if self.stash:
-            misses = np.nonzero(~hit)[0]
-            for j in misses:
-                if int(keys[j]) in self.stash:
-                    hit[j] = True
+            st = np.fromiter(self.stash, dtype=np.uint16, count=len(self.stash))
+            hit |= np.isin(fps, st)
         return hit
 
     # -- insert ---------------------------------------------------------
@@ -80,9 +83,9 @@ class CuckooFilter:
         i1 = self._i1(keys)
         i2 = self._alt(i1, fps)
         for j in range(len(keys)):
-            self._insert(int(i1[j]), int(i2[j]), int(fps[j]), int(keys[j]))
+            self._insert(int(i1[j]), int(i2[j]), int(fps[j]))
 
-    def _insert(self, i1: int, i2: int, f: int, key: int) -> None:
+    def _insert(self, i1: int, i2: int, f: int) -> None:
         for idx in (i1, i2):
             row = self.buckets[idx]
             empties = np.nonzero(row == _EMPTY)[0]
@@ -106,7 +109,7 @@ class CuckooFilter:
                 row[empties[0]] = f
                 self.count += 1
                 return
-        self.stash.add(key)
+        self.stash.add(f)  # the walk's final homeless fingerprint
         self.count += 1
 
     # -- serialization (byte-stable; checkpoint/restore) ----------------

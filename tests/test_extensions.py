@@ -87,6 +87,57 @@ def test_revisit_scheduler(ray_session, fixture_dir, tmp_path):
     assert (counters["metric"] == "revisited").any()
 
 
+@pytest.mark.parametrize("policy", ["random", "lifo"])
+def test_revisit_trimmed_rows_are_carried_not_lost(ray_session, tmp_path, policy):
+    """ADVICE r2 (medium): a revisit row cut by the scheduler's caps used to
+    vanish permanently (not in the frontier files, and _revisit_due only
+    consults one source epoch). Invariant after the fix: every trimmed
+    revisit row is either refetched later or still in the latest pending
+    checkpoint — never silently dropped. Under `random` the trimmed rows
+    also demonstrably get their turn; under `lifo` old rows legitimately
+    starve (fresher discovered_epoch always outranks them) but survive as
+    pending."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from frontera_ray.pipelines.crawl import run_crawl
+
+    fx = synth.write_fixture(
+        str(tmp_path / "fx"), synth.FixtureSpec(num_hosts=3, pages_per_host=6)
+    )
+    cfg = _cfg(
+        fx,
+        str(tmp_path / f"ck-{policy}"),
+        policy=policy,
+        max_epochs=20,
+        revisit_after_epochs=2,
+    )
+    crawler, _ = run_crawl(cfg, resume=False)
+    ck = crawler.ck
+    pend: dict[int, set] = {}
+    e = 0
+    while os.path.exists(ck.manifest_path(e)):
+        with open(ck.manifest_path(e)) as f:
+            if json.load(f).get("revisit_pending", 0) > 0:
+                pend[e] = set(
+                    pq.read_table(
+                        os.path.join(ck.epoch_dir(e), "revisit_pending.parquet")
+                    )["url"].to_pylist()
+                )
+        e += 1
+    assert pend, "expected at least one epoch to trim revisit rows"
+    first = min(pend)
+    order = crawler.artifacts()["crawl_order"].to_pandas()
+    refetched = set(order[(order["epoch"] > first) & order["fetched"]]["url"])
+    still_pending = pend[max(pend)]
+    lost = pend[first] - refetched - still_pending
+    assert not lost, f"trimmed revisit rows silently dropped: {lost}"
+    if policy == "random":
+        assert pend[first] & refetched, "no trimmed revisit ever refetched"
+
+
 def test_revisit_off_means_no_duplicates(ray_session, fixture_dir, tmp_path):
     from frontera_ray.pipelines.crawl import run_crawl
 
