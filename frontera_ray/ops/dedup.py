@@ -488,30 +488,55 @@ def simhash_signatures(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def sim(t: pa.Table) -> pa.Table:
-        out = []
-        for text in t["text"].to_pylist():
-            toks = text.split()
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.fromiter(
+        # round-3 (VERDICT r2 #8): hash each DISTINCT token once per batch
+        # (md5 is the kernel cost; corpora repeat tokens heavily), then one
+        # (total_tokens × 64) bit matrix with per-doc segment sums
+        # (np.add.reduceat) — value-identical to the per-doc loop
+        toks_per_doc = [text.split() for text in t["text"].to_pylist()]
+        counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+        n = len(toks_per_doc)
+        out = np.zeros(n, dtype=np.uint64)
+        nz = np.nonzero(counts)[0]
+        if len(nz):
+            vocab: dict[str, int] = {}
+            inv = np.fromiter(
+                (vocab.setdefault(w, len(vocab)) for i in nz for w in toks_per_doc[i]),
+                dtype=np.int64,
+                count=int(counts[nz].sum()),
+            )
+            uh = np.fromiter(
                 (
                     int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                    for w in toks
+                    for w in vocab
                 ),
                 dtype=np.uint64,
-                count=len(toks),
+                count=len(vocab),
             )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            v = (2 * bits - 1).sum(axis=0)
-            sh = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out.append(sh)
+            hs = uh[inv]
+            starts = np.zeros(len(nz), dtype=np.int64)
+            starts[1:] = np.cumsum(counts[nz])[:-1]
+            shifts = np.arange(64, dtype=np.uint64)
+            # chunk the doc axis so the bit matrix stays ≤ ~32 MB
+            chunk_tokens = 1 << 17
+            d0 = 0
+            while d0 < len(nz):
+                d1 = d0 + 1
+                tok0 = starts[d0]
+                tok1 = tok0 + counts[nz[d0]]
+                while d1 < len(nz) and tok1 - tok0 + counts[nz[d1]] <= chunk_tokens:
+                    tok1 += counts[nz[d1]]
+                    d1 += 1
+                bits = (
+                    (hs[tok0:tok1, None] >> shifts) & np.uint64(1)
+                ).astype(np.int32)
+                ones = np.add.reduceat(bits, starts[d0:d1] - tok0, axis=0)
+                v = 2 * ones - counts[nz[d0:d1]][:, None]
+                out[nz[d0:d1]] = ((v > 0).astype(np.uint64) << shifts).sum(axis=1)
+                d0 = d1
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "simhash": pa.array([f"{x:016x}" for x in out], pa.string()),
+                "simhash": pa.array([f"{int(x):016x}" for x in out], pa.string()),
             }
         )
 

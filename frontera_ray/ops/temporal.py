@@ -7,7 +7,8 @@ user), and each bucket is processed with ONE vectorized kernel:
 ``pd.merge_asof(..., by=user_id)`` for the as-of join, sorted diff/cumsum
 for sessions. The same shape holds at 10^10 rows: one shuffle on the
 bucket key, per-bucket work linear and vectorized, the small side
-(orders) broadcast once as a dict of per-bucket frames.
+(orders) shipped as one object-store ref per bucket so a group task
+deserializes only its own slice.
 """
 
 from __future__ import annotations
@@ -36,9 +37,9 @@ def asof_join(sf_dir: str):
     """For each event: the most recent order of the same customer at or
     before the event time (ASOF JOIN semantics, inner). ONE shuffle on the
     hash-bucketed user key; within each bucket a single ``pd.merge_asof``
-    with ``by=`` does every user at once. The orders side is broadcast
-    once (ray.put) pre-partitioned into per-bucket frames, so each group
-    touches only its own slice.
+    with ``by=`` does every user at once. The orders side is put in the
+    object store pre-partitioned, ONE ref per bucket, so each group task
+    fetches and deserializes only its own slice.
 
     Oracle: DuckDB `ASOF JOIN` (events.user_id = orders.o_custkey,
     events.ts >= orders.o_orderdate)."""
@@ -51,11 +52,13 @@ def asof_join(sf_dir: str):
     # ties on o_orderdate: ASOF picks ONE row per event — deterministic,
     # oracle-matchable winner = max orderkey per (custkey, orderdate)
     orders = orders.groupby(["o_custkey", "o_orderdate"], as_index=False).last()
-    buckets = {
-        int(b): g.sort_values(["o_orderdate", "o_custkey"], kind="mergesort")
+    # one object ref PER BUCKET (round-3, VERDICT r2 #9): a group task
+    # deserializes only its own slice of the orders side, not the whole
+    # dict of frames
+    bucket_refs = {
+        int(b): ray.put(g.sort_values(["o_orderdate", "o_custkey"], kind="mergesort"))
         for b, g in orders.groupby(orders["o_custkey"].to_numpy() % _BUCKETS)
     }
-    orders_ref = ray.put(buckets)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -65,9 +68,10 @@ def asof_join(sf_dir: str):
                 "o_orderkey": np.zeros(0, np.int64),
             }
         )
-        od = ray.get(orders_ref).get(int(g["bucket"].iloc[0]))
-        if od is None:
+        ref = bucket_refs.get(int(g["bucket"].iloc[0]))
+        if ref is None:
             return empty
+        od = ray.get(ref)
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         m = pd.merge_asof(
             g,
