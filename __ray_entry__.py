@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schedule_topk": relational.schedule_topk,
         "url_fingerprint": relational.url_fingerprint,
         "anti_join": relational.anti_join,
+        "shuffle_join": relational.shuffle_join,
         "quantiles": relational.quantiles,
         "rollup_counts": relational.rollup_counts,
         "window_hopping": relational.window_hopping,
@@ -256,6 +257,14 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag, l_linestatus"
         ),
         "distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
+        # large×large co-partitioned hash join (no broadcast side)
+        "shuffle_join": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "CAST(floor(sum(l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT) "
+            "AS sum_revenue_e4 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
         "anti_join": (
             "SELECT c_nationkey, count(*) AS n_no_orders FROM customer "
             "WHERE c_custkey NOT IN (SELECT user_id FROM events) "

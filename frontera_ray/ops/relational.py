@@ -69,11 +69,15 @@ def filter_topk(sf_dir: str):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
 
 
-def hash_join_agg(sf_dir: str):
+def hash_join_agg(sf_dir: str, broadcast_limit: int | None = None):
     """orders ⋈ customer ⋈ nation → per-nation order stats (J1 broadcast
     join: customer & nation are small dimension sides, loaded once and merged
     per batch — no shuffle; the reference-scale analogue broadcasts via
-    ray.put and at 100 TB the big side streams through map_batches)."""
+    ray.put and at 100 TB the big side streams through map_batches).
+
+    broadcast_limit (round-3): when the dimension side exceeds this row
+    count it is no longer a valid broadcast — the join switches to the
+    generic co-partitioned hash_shuffle_join (tested identical)."""
     cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")[
@@ -81,16 +85,22 @@ def hash_join_agg(sf_dir: str):
     ]
     import ray
 
-    dim_ref = ray.put(dim)
-
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
-        return batch.merge(d, left_on="o_custkey", right_on="c_custkey")[
-            ["n_name", "o_totalprice"]
-        ]
-
     ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
-    joined = ds.map_batches(join, batch_format="pandas")
+    if broadcast_limit is not None and len(dim) > broadcast_limit:
+        dim_ds = rd.from_arrow(pa.Table.from_pandas(dim, preserve_index=False))
+        joined = hash_shuffle_join(
+            ds, dim_ds, "o_custkey", "c_custkey"
+        ).select_columns(["n_name", "o_totalprice"])
+    else:
+        dim_ref = ray.put(dim)
+
+        def join(batch: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(dim_ref)
+            return batch.merge(d, left_on="o_custkey", right_on="c_custkey")[
+                ["n_name", "o_totalprice"]
+            ]
+
+        joined = ds.map_batches(join, batch_format="pandas")
     out = joined.groupby("n_name").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total_cents")
     )
@@ -270,6 +280,118 @@ def url_fingerprint(sf_dir: str):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- round 3 --
+def _neutral_fill(n: int, typ: pa.DataType) -> pa.Array:
+    """Type-appropriate filler for the absent side's columns in the tagged
+    union (values are never read — the merge kernel splits by side first).
+    Neutral non-null fills keep pandas dtypes native through the groupby
+    (a null int column would coerce to float64 and corrupt the output
+    dtype)."""
+    if pa.types.is_integer(typ):
+        return pa.array(np.zeros(n, dtype=np.int64)).cast(typ)
+    if pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, dtype=np.float64)).cast(typ)
+    if pa.types.is_timestamp(typ):
+        return pa.array(np.zeros(n, dtype="datetime64[us]")).cast(typ)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n).cast(typ)
+    return pa.nulls(n, typ)
+
+
+def hash_shuffle_join(
+    left_ds, right_ds, left_key: str, right_key: str, n_routes: int = 64
+):
+    """Generic co-partitioned hash join for two LARGE sides — the J1
+    fallback SURVEY.md §2.4 names for when the small-side broadcast
+    assumption breaks (a fact ⋈ fact join at 100 TB has no broadcast
+    side). Shape:
+
+      each side tagged (side, jkey, route = splitmix64(key) % n_routes)
+        → union (one schema: left cols + right cols, absent side filled
+          with unread neutral values so dtypes survive pandas)
+        → groupby(route).map_groups: ONE vectorized pd.merge per route
+          group (bounded cardinality — never one call per key)
+
+    Inner join; key columns must be integer; non-key column names must be
+    disjoint. Returns a Dataset with left columns then right columns
+    (right key dropped). Both sides stream — nothing is collected to the
+    driver and neither side is replicated."""
+    from ..strategy import splitmix64
+
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != right_key]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column collision between join sides: {overlap}")
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+
+    def tag(side: int, key_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            route = (
+                splitmix64(key.view(np.uint64)) % np.uint64(n_routes)
+            ).astype(np.int64)
+            cols: dict = {
+                "route": pa.array(route, pa.int64()),
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+                "jkey": pa.array(key, pa.int64()),
+            }
+            for c in lcols:
+                cols[c] = t[c] if side == 0 else _neutral_fill(n, ltypes[c])
+            for c in rcols:
+                cols[c] = t[c] if side == 1 else _neutral_fill(n, rtypes[c])
+            return pa.table(cols)
+
+        return f
+
+    unioned = left_ds.map_batches(tag(0, left_key), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1, right_key), batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["side"] == 0, lcols]
+        r = g.loc[g["side"] == 1, rcols + ["jkey"]]
+        return l.merge(r, left_on=left_key, right_on="jkey").drop(columns=["jkey"])
+
+    return unioned.groupby("route").map_groups(merge, batch_format="pandas")
+
+
+def shuffle_join(sf_dir: str):
+    """Headline large×large join: lineitem ⋈ orders on the order key with
+    NO broadcast side (both fact-sized at 100 TB), via the generic
+    co-partitioned hash_shuffle_join, then a tiny per-priority aggregate.
+    Oracle: plain SQL inner join + GROUP BY."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                ),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_shuffle_join(li, orders, "l_orderkey", "o_orderkey")
+    out = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"), Sum("revenue", alias_name="sum_revenue_e4")
+    )
+    return out.map_batches(
+        lambda t: scale_int(t, {"sum_revenue_e4": 10_000}), batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------- round 2 --
