@@ -6,10 +6,12 @@ entry()      — flagship crawl pipeline over a pages table derived from
 queries()    — one entry per implemented operator/pipeline (SURVEY.md §2 +
                the training-data ops); each callable takes sf_dir.
 oracle_sql() — DuckDB-equivalent SQL for the SQL-expressible subset —
-               including full MinHash+LSH and SimHash (splitmix64/bit
-               arithmetic re-expressed in SQL). Rows-only remainder: the
-               approximate ops (HLL, LSH-ANN recall-tested instead), the
-               multimodal stub, and the stateful crawl artifacts.
+               including full MinHash+LSH, SimHash (splitmix64/bit
+               arithmetic re-expressed in SQL), LSH-ANN (seeded
+               hyperplanes as literals) and IVF-ANN (the deterministic
+               Lloyd fit unrolled as SQL CTE iterations). Rows-only
+               remainder: HLL (approximate by nature) and the stateful
+               crawl artifacts (pytest-checked vs a pure-Python oracle).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -212,6 +214,101 @@ _NGRAM_JACCARD_SQL = (
     "SELECT doc_a, doc_b, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6 "
     "FROM jac WHERE j >= 0.4"
 )
+
+# ---- ANN oracles (round-3, VERDICT r2 #3): the LSH hyperplanes are a
+# seeded deterministic matrix — exported below as DOUBLE[] literals (repr
+# round-trips float64 exactly and DuckDB parses to the nearest double) —
+# and the IVF coarse-quantizer fit is a seedless deterministic Lloyd loop
+# (first-n init, first-max assignment, normalized member-sum update)
+# re-expressed as unrolled SQL CTE iterations over the same sample. ----
+
+
+def _ann_lsh_sql(k: int = 10, n_queries: int = 8, n_bits: int = 4) -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(42)  # mirrors ops/ann.LshIndexStage(seed=42)
+    planes = rng.standard_normal((n_bits, 64))
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(b, ", ".join(repr(float(x)) for x in planes[b]))
+        for b in range(n_bits)
+    )
+    return (
+        f"WITH planes(b, p) AS (VALUES {rows}), "
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "sig AS (SELECT vec_id, CAST(sum(CASE WHEN list_inner_product(v, p) > 0 "
+        "THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket FROM emb CROSS JOIN planes "
+        "GROUP BY vec_id), "
+        f"q AS (SELECT vec_id AS qid, v FROM emb ORDER BY vec_id LIMIT {n_queries}), "
+        "qs AS (SELECT qid, bucket FROM q JOIN sig ON sig.vec_id = q.qid), "
+        "probe AS (SELECT qid, bucket FROM qs UNION "
+        "SELECT qid, xor(bucket, 1 << b) FROM qs CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {n_bits - 1})) AS b)), "
+        "cand AS (SELECT p.qid, s.vec_id FROM probe p JOIN sig s "
+        "ON s.bucket = p.bucket WHERE s.vec_id <> p.qid), "
+        "scored AS (SELECT c.qid AS query_id, c.vec_id, "
+        "list_cosine_similarity(q.v, e.v) AS cos "
+        "FROM cand c JOIN q ON q.qid = c.qid JOIN emb e ON e.vec_id = c.vec_id) "
+        "SELECT query_id, vec_id, CAST(floor(cos*1000000 + 0.5) AS BIGINT) AS cos_e6, rk "
+        "FROM (SELECT query_id, vec_id, cos, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk FROM scored) "
+        f"WHERE rk <= {k}"
+    )
+
+
+def _ann_ivf_sql(
+    k: int = 10, n_queries: int = 8, n_cells: int = 16, n_probe: int = 4, iters: int = 5
+) -> str:
+    dims = "(SELECT unnest(generate_series(1, 64)) AS i)"
+    ctes = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        # normalized quantizer sample, vec_id order (mirrors _fit_centroids)
+        "snn AS (SELECT vec_id, list_transform(v, x -> x / "
+        "greatest(sqrt(list_inner_product(v, v)), 1e-12)) AS v "
+        "FROM emb WHERE vec_id % 7 = 0)",
+        f"c0 AS (SELECT rn - 1 AS cell, v FROM (SELECT v, row_number() OVER "
+        f"(ORDER BY vec_id) AS rn FROM snn) WHERE rn <= {n_cells})",
+    ]
+    for i in range(iters):
+        ctes += [
+            # assignment: first-max argmax == (dot DESC, cell ASC) rank 1
+            f"a{i} AS (SELECT vec_id, cell FROM (SELECT s.vec_id, c.cell, "
+            f"row_number() OVER (PARTITION BY s.vec_id ORDER BY "
+            f"list_inner_product(s.v, c.v) DESC, c.cell) AS rn "
+            f"FROM snn s CROSS JOIN c{i} c) WHERE rn = 1)",
+            f"u{i} AS (SELECT a.cell, d.i AS dim, sum(s.v[d.i]) AS sv "
+            f"FROM a{i} a JOIN snn s USING (vec_id) CROSS JOIN {dims} d "
+            f"GROUP BY a.cell, d.i)",
+            f"w{i} AS (SELECT cell, list(sv ORDER BY dim) AS raw FROM u{i} GROUP BY cell)",
+            f"n{i} AS (SELECT cell, raw, sqrt(list_inner_product(raw, raw)) AS nrm FROM w{i})",
+            # empty/zero-norm cells keep the previous centroid
+            f"c{i + 1} AS (SELECT c.cell, CASE WHEN n.nrm > 0 THEN "
+            f"list_transform(n.raw, x -> x / n.nrm) ELSE c.v END AS v "
+            f"FROM c{i} c LEFT JOIN n{i} n USING (cell))",
+        ]
+    ctes += [
+        f"cells AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cell, "
+        f"row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        f"list_inner_product(e.v, c.v) DESC, c.cell) AS rn "
+        f"FROM emb e CROSS JOIN c{iters} c) WHERE rn = 1)",
+        f"q AS (SELECT vec_id AS qid, v FROM emb ORDER BY vec_id LIMIT {n_queries})",
+        f"probe AS (SELECT qid, cell FROM (SELECT q.qid, c.cell, "
+        f"row_number() OVER (PARTITION BY q.qid ORDER BY "
+        f"list_inner_product(q.v, c.v) DESC, c.cell) AS rn "
+        f"FROM q CROSS JOIN c{iters} c) WHERE rn <= {n_probe})",
+        "scored AS (SELECT p.qid AS query_id, ce.vec_id, "
+        "list_cosine_similarity(q.v, e.v) AS cos "
+        "FROM probe p JOIN cells ce USING (cell) "
+        "JOIN emb e ON e.vec_id = ce.vec_id JOIN q ON q.qid = p.qid "
+        "WHERE ce.vec_id <> p.qid)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT query_id, vec_id, CAST(floor(cos*1000000 + 0.5) AS BIGINT) AS cos_e6, rk "
+        "FROM (SELECT query_id, vec_id, cos, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk FROM scored) "
+        f"WHERE rk <= {k}"
+    )
+
 
 _SIMHASH_SIG_SQL = (
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
@@ -465,6 +562,8 @@ def oracle_sql() -> dict[str, str]:
             "*10000 + 0.5) AS BIGINT) AS mean_vsum_e4 "
             "FROM embeddings GROUP BY label"
         ),
+        "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         "ann_bruteforce": (
             "SELECT query_id, vec_id, "
             "CAST(floor(cos*1000000 + 0.5) AS BIGINT) AS cos_e6, rk FROM ("
