@@ -310,6 +310,20 @@ def _ann_ivf_sql(
     )
 
 
+# shared media CTEs: high-nibble byte histogram of the (ASCII) payload,
+# normalized in float64 — mirrors ops/multimodal.fake_decode exactly
+_MEDIA_CTES = (
+    "nib AS (SELECT doc_id AS media_id, "
+    "ascii(substr(text, CAST(i AS INT), 1)) // 16 AS nibble "
+    "FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i "
+    "FROM documents)), "
+    "counts AS (SELECT media_id, nibble, count(*)::DOUBLE AS c "
+    "FROM nib GROUP BY media_id, nibble), "
+    "tot AS (SELECT media_id, sum(c) AS t FROM counts GROUP BY media_id), "
+    "nrm AS (SELECT counts.media_id, sqrt(sum(pow(c / t, 2))) AS v "
+    "FROM counts JOIN tot USING (media_id) GROUP BY counts.media_id)"
+)
+
 _SIMHASH_SIG_SQL = (
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
     "h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM toks), "
@@ -534,20 +548,39 @@ def oracle_sql() -> dict[str, str]:
         # over the (ASCII) payload bytes — exactly expressible in SQL, so
         # even the multimodal plumbing gets a value-hash oracle
         "media_features": (
-            "WITH nib AS (SELECT doc_id AS media_id, "
-            "ascii(substr(text, CAST(i AS INT), 1)) // 16 AS nibble "
-            "FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i "
-            "FROM documents)), "
-            "counts AS (SELECT media_id, nibble, count(*)::DOUBLE AS c "
-            "FROM nib GROUP BY media_id, nibble), "
-            "tot AS (SELECT media_id, sum(c) AS t FROM counts GROUP BY media_id), "
-            "nrm AS (SELECT counts.media_id, sqrt(sum(pow(c / t, 2))) AS v "
-            "FROM counts JOIN tot USING (media_id) GROUP BY counts.media_id) "
+            f"WITH {_MEDIA_CTES} "
             "SELECT d.doc_id AS media_id, "
             "CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
             "CAST(length(d.text) AS BIGINT) AS n_bytes, "
             "CAST(floor(nrm.v * 1000000 + 0.5) AS BIGINT) AS feature_norm_e6 "
             "FROM documents d JOIN nrm ON nrm.media_id = d.doc_id"
+        ),
+        # the full chained media pipeline (decode → resize rebin → frame
+        # sampling), round-3 (VERDICT r2 #4): the rebin mirrors BOTH
+        # float32 quantization layers (CAST AS FLOAT) with ordered
+        # sequential sums between them; frame counts are pure arithmetic
+        # on the payload length
+        "media_pipeline": (
+            f"WITH {_MEDIA_CTES}, "
+            # storage-quantized histogram components (float32 of c/t),
+            # rebinned 16→4 in float64 in nibble order, re-quantized
+            "rb AS (SELECT media_id, nibble // 4 AS bin, "
+            "CAST(list_sum(list(CAST(CAST(c / t AS FLOAT) AS DOUBLE) ORDER BY nibble)) "
+            "AS FLOAT) AS r FROM counts JOIN tot USING (media_id) "
+            "GROUP BY media_id, nibble // 4), "
+            "fs AS (SELECT media_id, CAST(floor("
+            "list_sum(list(CAST(r AS DOUBLE) ORDER BY bin)) * 1000000 + 0.5) "
+            "AS BIGINT) AS feat_small_e6 FROM rb GROUP BY media_id), "
+            # frame sampling: chunks of 64 bytes (≥1), keep every 4th
+            "fr AS (SELECT doc_id AS media_id, "
+            "CAST((greatest(1, (length(text) + 63) // 64) + 3) // 4 AS BIGINT) "
+            "AS n_frames FROM documents) "
+            "SELECT d.doc_id AS media_id, "
+            "CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
+            "CAST(length(d.text) AS BIGINT) AS n_bytes, "
+            "fs.feat_small_e6, fr.n_frames "
+            "FROM documents d "
+            "JOIN fs ON fs.media_id = d.doc_id JOIN fr ON fr.media_id = d.doc_id"
         ),
         "embedding_dup_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "

@@ -109,7 +109,11 @@ class ResizeStage:
         self.out_dim = out_dim
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = [np.asarray(f, dtype=np.float32) for f in t["feature"].to_pylist()]
+        # rebin in float64 over the float32-quantized stored feature, then
+        # quantize the result back to float32 storage — deterministic
+        # arithmetic the SQL mirror reproduces exactly (CAST(x AS FLOAT)
+        # at both quantization layers, ordered sequential sums between)
+        feats = [np.asarray(f, dtype=np.float64) for f in t["feature"].to_pylist()]
         factor = FEATURE_DIM // self.out_dim
         small = [f.reshape(self.out_dim, factor).sum(axis=1) for f in feats]
         out = t.drop_columns(
@@ -118,7 +122,7 @@ class ResizeStage:
         return out.append_column(
             "feature_small",
             pa.array(
-                [list(map(float, s)) for s in small],
+                [list(map(float, s.astype(np.float32))) for s in small],
                 pa.list_(pa.float32(), self.out_dim),
             ),
         )
@@ -169,8 +173,9 @@ def media_pipeline(sf_dir: str):
         frames.groupby("media_id").aggregate(Count(alias_name="n_frames")).to_pandas()
     )
     sm = small.to_pandas()
-    sm["feat_small_sum"] = sm["feature_small"].map(
-        lambda v: float(np.round(np.asarray(v, dtype=np.float64).sum(), 6))
+    # scaled-int export (repo convention) so the SQL mirror can hash-match
+    sm["feat_small_e6"] = sm["feature_small"].map(
+        lambda v: int(np.floor(np.asarray(v, dtype=np.float64).sum() * 1_000_000 + 0.5))
     )
     out = sm.drop(columns=["feature_small"]).merge(n_frames, on="media_id")
     return pa.Table.from_pandas(out.sort_values("media_id").reset_index(drop=True), preserve_index=False)

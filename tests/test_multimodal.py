@@ -47,7 +47,7 @@ def test_stage_chain_shapes():
 
 def test_media_pipeline_runs(ray_session):
     out = media_pipeline("/root/testdata/sf0.001").to_pandas()
-    assert {"media_id", "media_type", "n_bytes", "feat_small_sum", "n_frames"} <= set(
+    assert {"media_id", "media_type", "n_bytes", "feat_small_e6", "n_frames"} <= set(
         out.columns
     )
     assert len(out) > 0
