@@ -48,6 +48,12 @@ class CrawlConfig:
     # the cluster's aggregate object store (it stays distributed across
     # nodes); at 100 TB leave False and rely on the pruned per-epoch scan.
     cache_pages_in_memory: bool = False
+    # split the pages read into this many blocks (None = one per file).
+    # Zipf-skewed layouts put a hot host's whole partition in one file; at
+    # high parallelism that single block straggles the fused fetch→extract
+    # chain — splitting by row group rebalances it (files are written with
+    # small row groups for exactly this reason).
+    pages_read_blocks: int | None = None
     # pages table stores already-canonical URLs (true for production layouts
     # where the store is keyed by the frontier's canonical URL): lets the
     # fetch simulator push its URL filter into the parquet scan so

@@ -681,7 +681,12 @@ class Crawler:
     def run(self, resume: bool = True) -> dict:
         cfg, ck = self.cfg, self.ck
         if cfg.cache_pages_in_memory and self.pages_ds is None:
-            self.pages_ds = rd.read_parquet(cfg.pages_paths).materialize()
+            kw = (
+                {"override_num_blocks": cfg.pages_read_blocks}
+                if cfg.pages_read_blocks
+                else {}
+            )
+            self.pages_ds = rd.read_parquet(cfg.pages_paths, **kw).materialize()
         self._build_politeness()
         if not resume:
             import shutil
@@ -695,6 +700,9 @@ class Crawler:
         else:
             self._resume_from(latest)
         summary = {"epochs": 0, "scheduled": 0, "fetched": 0}
+        # wall-clock per epoch kept OFF the summary (summaries are compared
+        # for determinism in tests); bench reads crawler.epoch_sec
+        self.epoch_sec: list[float] = []
         # frontier state (file map + tombstones + live count) threads from
         # manifest to manifest — no per-epoch frontier read just to count
         fstate = self._frontier_state(latest)
@@ -704,6 +712,9 @@ class Crawler:
             n_rev = rev_tbl.num_rows if rev_tbl is not None else 0
             if fstate["queued"] == 0 and n_rev == 0:
                 break
+            import time as _time
+
+            _e0 = _time.perf_counter()
             r = self.run_epoch(epoch, fstate, rev_tbl)
             if r["scheduled"] == 0:
                 break
@@ -712,6 +723,7 @@ class Crawler:
             summary["epochs"] += 1
             summary["scheduled"] += r["scheduled"]
             summary["fetched"] += r["fetched"]
+            self.epoch_sec.append(round(_time.perf_counter() - _e0, 3))
         summary["seen"] = sum(ray.get([s.size.remote() for s in self.shards]))
         self.strategy.finished(summary)
         return summary
