@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": corpus.clean_corpus,
         "minhash_signatures": dedup.minhash_signatures_hex,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "minhash_cluster_reps": dedup.minhash_cluster_reps,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_pairs": dedup.simhash_pairs,
@@ -441,6 +442,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM mh GROUP BY doc_id"
         ),
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+        # connected components of the near-dup pair graph: recursive-CTE
+        # transitive closure; rep = min doc_id per component
+        "minhash_cluster_reps": (
+            f"WITH RECURSIVE {_minhash_ctes()}, "
+            "p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5), "
+            "edges AS (SELECT doc_a AS u, doc_b AS v FROM p "
+            "UNION SELECT doc_b, doc_a FROM p), "
+            "reach(u, v) AS (SELECT u, v FROM edges "
+            "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "
+            "SELECT u AS doc_id, least(u, min(v)) AS rep_id FROM reach GROUP BY u"
+        ),
         # the whole C4-style cleaning pipeline as ONE oracle: quality gate
         # → exact dedup winners → non-cascading near-dup removal against
         # the SQL MinHash+LSH pair set

@@ -143,7 +143,12 @@ def crawl_bench(ncpus: int, heavy: bool = False) -> dict:
             # split past the zipf-hot partition files so no single block
             # straggles the fused fetch→extract chain
             cache_pages_in_memory=True,
-            pages_read_blocks=ncpus * 8,
+            # 2 blocks/CPU: enough to split the zipf-hot partition file
+            # (the politeness caps already balance EXTRACT work per block;
+            # only the cheap url-scan is skewed), while keeping post-filter
+            # blocks big enough that per-task overhead stays amortized —
+            # 8 blocks/CPU measured slower (74-page batches, task overhead)
+            pages_read_blocks=ncpus * 2,
         )
         t0 = time.perf_counter()
         crawler, summary = run_crawl(cfg, resume=False)

@@ -659,6 +659,53 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 7, bucket_cap: int | None = No
     )
 
 
+# ------------------------------------------------------- dup clustering ----
+def minhash_cluster_reps(sf_dir: str, threshold: float = 0.5):
+    """Connected components over the verified MinHash+LSH pair graph:
+    (doc_id, rep_id) for every doc in at least one near-dup pair, where
+    rep_id = min(doc_id) of its component — the canonical
+    keep-one-representative clustering step after pair generation.
+
+    Scale shape: the pair list is the (tiny) output of the DISTRIBUTED
+    LSH stage; union-find over it is driver-side by design — components
+    of a sparse pair graph are orders of magnitude smaller than the
+    corpus. (If the pair set itself outgrew one node, the same result
+    comes from iterative min-label propagation via groupby — documented
+    alternative, not needed at sane thresholds.)
+
+    Oracle: recursive-CTE transitive closure over the same SQL pair set.
+    """
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
+        )
+    a = pairs["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(a, b):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:  # union by min id keeps the representative canonical
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    docs = np.unique(np.concatenate([a, b]))
+    reps = np.array([find(int(d)) for d in docs], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(docs, pa.int64()), "rep_id": pa.array(reps, pa.int64())}
+    )
+
+
 # ---------------------------------------------- embedding cosine near-dup --
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4, block: int = 4096):
     """Embedding-cosine near-dup, blocked by label (the blocking key stands

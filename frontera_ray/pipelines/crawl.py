@@ -439,21 +439,19 @@ class Crawler:
         )
         stage_sec["extract_admit_offer"] = round(_t() - t0, 3)
         if single_pass:
-            # fetched-meta from the out parts this execution just wrote
+            # fetched-meta from the out parts this execution just wrote —
+            # ONE multithreaded dataset read of the whole directory (a
+            # sequential per-file loop here cost ~0.5-1 s/epoch at high
+            # block counts and was pure driver-serial time)
             out_dir = ck.out_dir(epoch)
-            parts = [
-                pq.read_table(
-                    os.path.join(out_dir, f),
-                    columns=["url", "fp64", "partition", "n_links"],
+            if any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+                fmeta = pq.read_table(
+                    out_dir, columns=["url", "fp64", "partition", "n_links"]
+                ).to_pandas()
+            else:
+                fmeta = pd.DataFrame(
+                    {"url": [], "fp64": [], "partition": [], "n_links": []}
                 )
-                for f in sorted(os.listdir(out_dir))
-                if f.endswith(".parquet")
-            ]
-            fmeta = (
-                pa.concat_tables(parts).to_pandas()
-                if parts
-                else pd.DataFrame({"url": [], "fp64": [], "partition": [], "n_links": []})
-            )
         # counter segments in canonical order: fetched/errors/extracted,
         # then the gate partials
         counters += _per_partition_counts(fmeta, "fetched", epoch)
