@@ -78,19 +78,36 @@ class AdmitOfferStage:
     def __init__(
         self, cfg: CrawlConfig, politeness_ref, shard_handles: list, strategy=None
     ):
+        self.cfg = cfg
         self.admit = AdmitLinks(cfg, politeness_ref, strategy)
         self.offer = OfferStage(shard_handles)
+        # the fast path below reproduces the gate+offer semantics exactly
+        # but cannot see a user hook's per-edge decisions — hook ⇒ legacy
+        self.has_hook = strategy is not None and type(
+            strategy
+        ).filter_extracted_links is not _base_filter_extracted_links()
+
+    _EMPTY = None  # class-level cache of the empty counters table
+
+    @staticmethod
+    def _empty_counters() -> pa.Table:
+        return pa.table(
+            {
+                "partition": pa.array([], pa.int32()),
+                "ok": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return self._empty_counters()
+        if self.has_hook:
+            return self._legacy(t)
+        return self._fast(t)
+
+    def _legacy(self, t: pa.Table) -> pa.Table:
         gated = self.admit(t)
-        if gated.num_rows == 0:
-            return pa.table(
-                {
-                    "partition": pa.array([], pa.int32()),
-                    "ok": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
         allowed = gated.filter(gated.column("allowed"))
         self.offer(allowed)
         parts = gated["partition"].to_numpy(zero_copy_only=False)
@@ -104,6 +121,104 @@ class AdmitOfferStage:
                 "n": pa.array(g["n"].to_numpy(), pa.int64()),
             }
         )
+
+    def _fast(self, t: pa.Table) -> pa.Table:
+        """Factorize-first gate+offer (round-3): most extracted edges in a
+        batch repeat the same raw URL, so canonicalization + sha1 + robots
+        run once per DISTINCT raw url, and the per-edge work is numpy
+        indexing. Two-level aggregation keeps the offer protocol exact:
+        level A (per raw url, all-numeric — url is constant in the group,
+        so the winner edge is min (depth, parent_fp64) via ONE lexsort);
+        level B (per fp64, merges canonicalization collisions) builds the
+        winner-key strings only for the surviving uniques."""
+        cfg = self.cfg
+        raw = t["url"].to_pylist()
+        codes, uniq = pd.factorize(np.array(raw, dtype=object))
+        u_tbl = enrich_urls(
+            pa.table({"url": pa.array(uniq, pa.string())}), cfg.num_partitions
+        )
+        u_urls = u_tbl["url"].to_pylist()  # canonical
+        ok_u = np.fromiter(
+            (u.startswith(self.admit.schemes) for u in u_urls),
+            dtype=bool,
+            count=len(u_urls),
+        )
+        if self.admit.obey_robots:
+            ok_u &= self.admit.politeness.allowed_mask(
+                u_tbl["host"].to_pylist(), u_urls
+            )
+        part_u = u_tbl["partition"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok_e = ok_u[codes]
+        if self.admit.max_depth is not None:
+            depths_e = t["depth"].to_numpy(zero_copy_only=False)
+            ok_e = ok_e & (depths_e <= self.admit.max_depth)
+        # per-partition EDGE counters (identical to the legacy per-edge
+        # groupby): n = edges, ok = allowed edges
+        parts_e = part_u[codes]
+        nP = int(parts_e.max()) + 1
+        n_cnt = np.bincount(parts_e, minlength=nP)
+        ok_cnt = np.bincount(parts_e[ok_e], minlength=nP)
+        present = np.flatnonzero(n_cnt)
+        counters = pa.table(
+            {
+                "partition": pa.array(present.astype(np.int32), pa.int32()),
+                "ok": pa.array(ok_cnt[present].astype(np.int64), pa.int64()),
+                "n": pa.array(n_cnt[present].astype(np.int64), pa.int64()),
+            }
+        )
+        if not ok_e.any():
+            return counters
+        # ---- level A: per raw-url winner + cash sum over allowed edges
+        codes_a = codes[ok_e]
+        depth_a = t["depth"].to_numpy(zero_copy_only=False)[ok_e]
+        parent_a = (
+            t["parent_fp64"].to_numpy(zero_copy_only=False).astype(np.uint64)[ok_e]
+        )
+        cash_a = (
+            t["parent_score"].to_numpy(zero_copy_only=False)
+            / np.maximum(t["parent_outdeg"].to_numpy(zero_copy_only=False), 1)
+        )[ok_e]
+        order = np.lexsort((parent_a, depth_a, codes_a))
+        sc = codes_a[order]
+        first = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        win_rows = order[first]  # winner edge per present code
+        pres_codes = sc[first]
+        cash_u = np.bincount(codes_a, weights=cash_a, minlength=len(uniq))
+        # ---- level B: merge canonicalization collisions on fp64
+        fp_u = u_tbl["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = [
+            f"{int(d):06d}|{int(p):016x}|{u_urls[c]}"
+            for d, p, c in zip(depth_a[win_rows], parent_a[win_rows], pres_codes)
+        ]
+        agg = pd.DataFrame(
+            {
+                "fp64": fp_u[pres_codes],
+                "key": keys,
+                "cash": cash_u[pres_codes],
+                "partition": part_u[pres_codes],
+            }
+        ).groupby("fp64", sort=False).agg(
+            key=("key", "min"), cash=("cash", "sum"), partition=("partition", "first")
+        )
+        shard_of = agg["partition"].to_numpy() % len(self.offer.shards)
+        futs = []
+        for s in np.unique(shard_of):
+            sub = agg[shard_of == s]
+            futs.append(
+                self.offer.shards[int(s)].offer.remote(
+                    sub.index.to_numpy(dtype=np.uint64),
+                    sub["key"].tolist(),
+                    sub["cash"].to_numpy(),
+                )
+            )
+        ray.get(futs)
+        return counters
+
+
+def _base_filter_extracted_links():
+    from ..strategy import CrawlStrategy
+
+    return CrawlStrategy.filter_extracted_links
 
 
 class OfferStage:
