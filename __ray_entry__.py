@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": dedup.minhash_signatures_hex,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "minhash_cluster_reps": dedup.minhash_cluster_reps,
+        "cluster_reps_labelprop": dedup.cluster_reps_labelprop,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_pairs": dedup.simhash_pairs,
@@ -133,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": sketches.hll_distinct_users,
         "hash_sample": sketches.hash_sample,
         "stratified_sample": sketches.stratified_sample,
+        "bottomk_sample": sketches.bottomk_sample,
+        "weighted_sample": sketches.weighted_sample,
         "regex_token_stats": sketches.regex_token_stats,
         # multimodal plumbing (stub decode, real actor/batch/schema path)
         "media_features": multimodal.media_features,
@@ -340,7 +343,7 @@ _SIMHASH_SIG_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     stop_list = "('the','a','to','of','and')"
-    return {
+    d = {
         "groupby_agg": (
             "SELECT event_type, count(*) AS n, "
             "CAST(floor(sum(value)*10000 + 0.5) AS BIGINT) AS sum_value_e4, "
@@ -621,4 +624,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) q, embeddings e "
             "WHERE q.vec_id <> e.vec_id) WHERE rk <= 10"
         ),
+        # fixed-size bottom-k / weighted priority samples: selection by
+        # ORDER BY hash-priority LIMIT k mirrors the engine's per-batch
+        # partial bottom-k + tiny merge (priorities use only IEEE-exact
+        # ops — int64→double and division — so both sides agree bitwise)
+        "bottomk_sample": (
+            "SELECT event_id, event_type, value, "
+            "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS prio "
+            "FROM events ORDER BY prio, event_id LIMIT 200"
+        ),
+        "weighted_sample": (
+            "SELECT event_id, event_type, value FROM events "
+            "ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT "
+            "* 1.0 / greatest(value, 0.000001), event_id LIMIT 200"
+        ),
     }
+    # distributed label propagation computes the same components as the
+    # driver union-find — one oracle, two engine paths
+    d["cluster_reps_labelprop"] = d["minhash_cluster_reps"]
+    return d

@@ -706,6 +706,88 @@ def minhash_cluster_reps(sf_dir: str, threshold: float = 0.5):
     )
 
 
+def cluster_reps_labelprop(
+    sf_dir: str, threshold: float = 0.5, max_iters: int = 32
+):
+    """Distributed min-label propagation over the LSH pair graph — the
+    scale-out alternative to `minhash_cluster_reps`' driver union-find,
+    for pair graphs too large for one node (documented there). Every
+    round is two Dataset shuffles: a grouped message pass (each node
+    sends its current min label to all neighbours and itself) and a
+    Min-aggregate over received candidates; labels are monotone
+    non-increasing, so the sum of labels is an exact convergence check.
+    Rounds needed = eccentricity of the min-id node per component
+    (near-dup clusters are near-cliques, so 2-3 in practice; pointer
+    doubling would give O(log n) worst-case but is not needed here).
+
+    Output and oracle identical to `minhash_cluster_reps` (recursive-CTE
+    transitive closure).
+    """
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
+        )
+    a = pairs["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    # typed NEUTRAL fill (-1), not NULL: a NULL-filled union coerces
+    # int64 → float64 inside pandas map_groups (see relational._neutral_fill)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+                "label": pa.array(np.full(2 * len(a), -1), pa.int64()),
+            }
+        )
+    )
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array(nodes, pa.int64()),
+            }
+        )
+    )
+    prev_sum = int(nodes.sum())
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        lab = int(g.loc[g["label"] >= 0, "label"].min())
+        nbrs = g.loc[g["label"] < 0, "nbr"].to_numpy(dtype=np.int64)
+        dst = np.concatenate([nbrs, g["node"].to_numpy(dtype=np.int64)[:1]])
+        return pd.DataFrame({"node": dst, "cand": np.full(len(dst), lab)})
+
+    for _ in range(max_iters):
+        lab_side = labels.map_batches(
+            lambda t: t.append_column(
+                "nbr", pa.array(np.full(t.num_rows, -1), pa.int64())
+            ).select(["node", "nbr", "label"]),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            edges.union(lab_side)
+            .groupby("node")
+            .map_groups(send, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        s = int(new_labels.sum("label"))
+        labels = new_labels
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    out = labels.to_pandas().sort_values("node", kind="mergesort")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
+            "rep_id": pa.array(out["label"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------- embedding cosine near-dup --
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4, block: int = 4096):
     """Embedding-cosine near-dup, blocked by label (the blocking key stands

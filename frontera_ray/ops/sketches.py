@@ -141,6 +141,84 @@ def hash_sample(sf_dir: str, pct: int = 5):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def bottomk_sample(sf_dir: str, k: int = 200):
+    """Fixed-size uniform sample via bottom-k order statistics (Cohen &
+    Kaplan, "Summarizing data using bottom-k sketches", PODC 2007): keep
+    the k events with the smallest 60-bit md5 priority. Unlike Bernoulli
+    `hash_sample`, output size is exactly k regardless of input size, and
+    bottom-k sets are mergeable: each batch emits only its own k smallest
+    rows, so the driver merges ≤ k × #batches rows — never the corpus.
+    Deterministic and SQL-mirrored (ORDER BY priority LIMIT k)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pylist()
+        prio = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        t = t.append_column("prio", pa.array(prio, pa.int64()))
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), prio))[:k]
+        return t.take(pa.array(np.sort(order)))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["prio", "event_id"], kind="mergesort").head(k)
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].to_numpy(), pa.int64()),
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "value": pa.array(out["value"].to_numpy(), pa.float64()),
+            "prio": pa.array(out["prio"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def weighted_sample(sf_dir: str, k: int = 200):
+    """Weighted bottom-k sample (priority sampling, Cohen & Kaplan 2007):
+    priority = hash / weight, keep the k smallest — inclusion probability
+    grows with `value`, output size is exactly k, and partial bottom-k
+    per batch keeps the merge at ≤ k × #batches rows. The priority uses
+    only IEEE-exact ops (int64→double conversion and division — both
+    correctly rounded and bit-identical in numpy and DuckDB; pow/ln are
+    NOT, which is why this is priority- rather than Efraimidis–Spirakis
+    exponential-key sampling)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pylist()
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        w = np.maximum(t["value"].to_numpy(zero_copy_only=False), 1e-6)
+        prio = h.astype(np.float64) / w
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), prio))[:k]
+        t = t.append_column("prio", pa.array(prio, pa.float64()))
+        return t.take(pa.array(np.sort(order)))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["prio", "event_id"], kind="mergesort").head(k)
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].to_numpy(), pa.int64()),
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "value": pa.array(out["value"].to_numpy(), pa.float64()),
+        }
+    )
+
+
 def regex_token_stats(sf_dir: str):
     """BPE-ish regex tokenization (words | single non-space punctuation):
     per-language token totals; DuckDB oracle uses regexp_extract_all with

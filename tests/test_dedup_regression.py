@@ -104,3 +104,13 @@ def test_embedding_pairs_blocked_matches_unblocked():
     full = dedup.embedding_dup_pairs(SF)
     tiny = dedup.embedding_dup_pairs(SF, block=7)
     assert tiny.equals(full)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_labelprop_matches_union_find():
+    """The distributed min-label-propagation clustering must emit exactly
+    the driver union-find's (doc_id, rep_id) table — same components, same
+    canonical min-id representative."""
+    uf = dedup.minhash_cluster_reps(SF)
+    lp = dedup.cluster_reps_labelprop(SF)
+    assert lp.equals(uf)
