@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text.quality_scores,
         "lang_id": text.lang_id,
         "doc_fingerprints": text.doc_fingerprints,
+        "repetition_scores": text.repetition_scores,
+        "tfidf_top_terms": text.tfidf_top_terms,
         # similarity search
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
@@ -623,6 +625,42 @@ def oracle_sql() -> dict[str, str]:
             "CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rk "
             "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) q, embeddings e "
             "WHERE q.vec_id <> e.vec_id) WHERE rk <= 10"
+        ),
+        # Gopher-style repetition signals: most-frequent-bigram fraction +
+        # duplicate-trigram occurrence fraction per doc (LEFT JOINs keep
+        # short/empty docs with 0 scores, matching the engine)
+        "repetition_scores": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "bi AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), "
+            "i -> w[i] || ' ' || w[i+1])) AS g FROM toks), "
+            "tri AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM toks), "
+            "bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g), "
+            "tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g), "
+            "bs AS (SELECT doc_id, sum(c) AS nb, max(c) AS mx FROM bic GROUP BY doc_id), "
+            "ts AS (SELECT doc_id, sum(c) AS nt, "
+            "sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM tric GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(bs.nb, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(coalesce(floor(bs.mx * 1000000.0 / bs.nb + 0.5), 0) AS BIGINT) "
+            "AS top_bigram_frac_e6, "
+            "CAST(coalesce(floor(ts.dup * 1000000.0 / ts.nt + 0.5), 0) AS BIGINT) "
+            "AS dup_trigram_frac_e6 "
+            "FROM documents d LEFT JOIN bs ON d.doc_id = bs.doc_id "
+            "LEFT JOIN ts ON d.doc_id = ts.doc_id"
+        ),
+        # tf·idf-flavoured top terms per language (integer-exact score:
+        # floor(tf*1e6/df + 0.5) — ln() is not bit-stable across engines)
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, lang, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY lang, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term), "
+            "s AS (SELECT lang, term, tf, df, "
+            "CAST(floor(tf * 1000000.0 / df + 0.5) AS BIGINT) AS score_e6 "
+            "FROM tf JOIN df USING (term)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+            "ORDER BY score_e6 DESC, term) AS rk FROM s) "
+            "SELECT lang, term, tf, df, score_e6, rk FROM r WHERE rk <= 5"
         ),
         # fixed-size bottom-k / weighted priority samples: selection by
         # ORDER BY hash-priority LIMIT k mirrors the engine's per-batch

@@ -129,6 +129,140 @@ def lang_id(sf_dir: str):
     return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def repetition_scores(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021, public
+    recipe, §A1.1): per document, the fraction of word-bigrams taken by the
+    single most frequent bigram and the fraction of word-trigram
+    occurrences that are duplicates — high values flag boilerplate /
+    machine-generated text. Per-doc Counter work is inherently per-row;
+    it runs distributed inside map_batches. Scaled-int export
+    (floor(x*1e6+0.5)) keeps the DuckDB mirror value-exact."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        n_bi, top_bi, dup_tri = [], [], []
+        for text in t["text"].to_pylist():
+            toks = text.split(" ")
+            bi = Counter(
+                " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+            )
+            tri = Counter(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+            nb = sum(bi.values())
+            nt = sum(tri.values())
+            n_bi.append(nb)
+            top_bi.append(
+                int(np.floor(max(bi.values()) / nb * 1_000_000 + 0.5)) if nb else 0
+            )
+            dup = sum(c for c in tri.values() if c > 1)
+            dup_tri.append(
+                int(np.floor(dup / nt * 1_000_000 + 0.5)) if nt else 0
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(n_bi, pa.int64()),
+                "top_bigram_frac_e6": pa.array(top_bi, pa.int64()),
+                "dup_trigram_frac_e6": pa.array(dup_tri, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Corpus-level term statistics: top-k terms per language by a
+    tf·idf-flavoured score (tf scaled by inverse document frequency;
+    integer-exact export floor(tf*1e6/df + 0.5) — ln() is NOT bit-stable
+    across engines, plain division is). Distributed shape: per-batch
+    partial (lang, term) counts and per-batch distinct (term, doc) pairs
+    (each doc lives in exactly one batch row, so batch-distinct pairs are
+    globally distinct) → two small groupbys over partials → df attached
+    with a co-grouped merge (no driver-side vocabulary) → per-batch
+    partial top-k, driver merges k × #langs × #batches rows."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        tf: Counter = Counter()
+        dfc: Counter = Counter()
+        for doc_id, text, lang in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+        ):
+            toks = text.split(" ")
+            tf.update((lang, w) for w in toks)
+            dfc.update(set(toks))
+        rows_l, rows_t, rows_n, rows_d = [], [], [], []
+        for (lang, w), c in tf.items():
+            rows_l.append(lang)
+            rows_t.append(w)
+            rows_n.append(c)
+            rows_d.append(0)
+        for w, c in dfc.items():
+            rows_l.append("")  # df partial rows carry a neutral lang
+            rows_t.append(w)
+            rows_n.append(0)
+            rows_d.append(c)
+        return pa.table(
+            {
+                "lang": pa.array(rows_l, pa.string()),
+                "term": pa.array(rows_t, pa.string()),
+                "tf": pa.array(rows_n, pa.int64()),
+                "df": pa.array(rows_d, pa.int64()),
+            }
+        )
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        df_total = int(g["df"].sum())
+        out = g[g["tf"] > 0].groupby("lang", as_index=False).agg(tf=("tf", "sum"))
+        if out.empty:
+            return pd.DataFrame({"lang": [], "term": [], "tf": [], "df": [], "score_e6": []})
+        out["term"] = g["term"].iloc[0]
+        out["df"] = df_total
+        out["score_e6"] = np.floor(
+            out["tf"].to_numpy(np.float64) * 1_000_000 / df_total + 0.5
+        ).astype(np.int64)
+        return out[["lang", "term", "tf", "df", "score_e6"]]
+
+    scored = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(per_term, batch_format="pandas")
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["lang", "score_e6", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(k), preserve_index=False
+        )
+
+    parts = scored.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["lang", "score_e6", "term"], ascending=[True, False, True], kind="mergesort"
+    )
+    top = parts.groupby("lang", sort=False).head(k).reset_index(drop=True)
+    top["rk"] = top.groupby("lang").cumcount() + 1
+    return pa.table(
+        {
+            "lang": pa.array(top["lang"].tolist(), pa.string()),
+            "term": pa.array(top["term"].tolist(), pa.string()),
+            "tf": pa.array(top["tf"].to_numpy(), pa.int64()),
+            "df": pa.array(top["df"].to_numpy(), pa.int64()),
+            "score_e6": pa.array(top["score_e6"].to_numpy(), pa.int64()),
+            "rk": pa.array(top["rk"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def doc_fingerprints(sf_dir: str, window: int = 4, keep_mod: int = 8):
     """Winnowing-style document fingerprints (Schleimer et al., SIGMOD 2003
     flavor, simplified): rolling hash over token windows, keep hashes ≡ 0
