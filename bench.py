@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "embedding_dup_pairs",
     "token_stats",
     "quality_scores",
+    "repetition_scores",
+    "tfidf_top_terms",
     "lang_id",
     "ann_bruteforce",
     "ann_lsh",

@@ -407,9 +407,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3):
             }
         )
 
+    # repartition after union: Ray's sort planner collapses a unioned
+    # input to one SortMap task (see relational.hash_shuffle_join)
     with_a = (
         rd.from_arrow(pairs1)
         .union(sh1)
+        .repartition(2 * _LSH_ROUTE_GROUPS)
         .groupby("route")
         .map_groups(attach_a, batch_format="pandas")
     )
@@ -465,6 +468,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3):
     out = (
         with_a.map_batches(pairs2, batch_format="pyarrow")
         .union(sh2)
+        .repartition(2 * _LSH_ROUTE_GROUPS)
         .groupby("route")
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
@@ -767,6 +771,7 @@ def cluster_reps_labelprop(
         )
         new_labels = (
             edges.union(lab_side)
+            .repartition(32)  # sort-parallelism fix, see hash_shuffle_join
             .groupby("node")
             .map_groups(send, batch_format="pandas")
             .groupby("node")
