@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text.doc_fingerprints,
         "repetition_scores": text.repetition_scores,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "top_ngrams": text.top_ngrams,
+        "vocab_prune": text.vocab_prune,
+        "bm25_topk": text.bm25_topk,
         # similarity search
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
@@ -661,6 +664,54 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
             "ORDER BY score_e6 DESC, term) AS rk FROM s) "
             "SELECT lang, term, tf, df, score_e6, rk FROM r WHERE rk <= 5"
+        ),
+        # corpus-level bigram frequency, top-k by count (ties by text)
+        "top_ngrams": (
+            "WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents), "
+            "g AS (SELECT unnest(list_transform(range(1, len(w)), "
+            "i -> w[i] || ' ' || w[i+1])) AS ngram FROM toks), "
+            "c AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram) "
+            "SELECT ngram, CAST(cnt AS BIGINT) AS cnt, "
+            "row_number() OVER (ORDER BY cnt DESC, ngram) AS rk "
+            "FROM c ORDER BY cnt DESC, ngram LIMIT 20"
+        ),
+        # rare-token replacement: global count < 100 -> '<unk>'; parallel
+        # unnests zip, string_agg ORDER BY position rebuilds the text
+        "vocab_prune": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w, "
+            "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos "
+            "FROM documents), "
+            "c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w) "
+            "SELECT t.doc_id, "
+            "string_agg(CASE WHEN c.cnt >= 100 THEN t.w ELSE '<unk>' END, ' ' "
+            "ORDER BY t.pos) AS text_pruned, "
+            "CAST(sum(CASE WHEN c.cnt < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk "
+            "FROM tok t JOIN c ON t.w = c.w GROUP BY t.doc_id"
+        ),
+        # BM25 (k1=1.5, b=0.75) with a raw idf ratio instead of ln();
+        # per-term contributions floored to int micro-units BEFORE the doc
+        # sum, so both engines add integers (order-independent)
+        "bm25_topk": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "dl AS (SELECT doc_id, len(w) AS dl FROM toks), "
+            "st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl), "
+            "tok AS (SELECT doc_id, unnest(w) AS term FROM toks), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "WHERE term IN ('join', 'merge', 'stream') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+            "WHERE term IN ('join', 'merge', 'stream') GROUP BY term), "
+            "co AS (SELECT tf.doc_id, CAST(floor("
+            "tf.tf * 2.5 / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / "
+            "(st.sdl * 1.0 / st.n))) * ((st.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* 1000000.0 + 0.5) AS BIGINT) AS c_e6 "
+            "FROM tf JOIN dl ON tf.doc_id = dl.doc_id "
+            "JOIN df ON tf.term = df.term, st), "
+            "s AS (SELECT doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6 "
+            "FROM co GROUP BY doc_id) "
+            "SELECT doc_id, score_e6, "
+            "row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rk "
+            "FROM s WHERE score_e6 > 0 ORDER BY score_e6 DESC, doc_id LIMIT 10"
         ),
         # fixed-size bottom-k / weighted priority samples: selection by
         # ORDER BY hash-priority LIMIT k mirrors the engine's per-batch

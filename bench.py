@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "quality_scores",
     "repetition_scores",
     "tfidf_top_terms",
+    "top_ngrams",
+    "vocab_prune",
+    "bm25_topk",
     "lang_id",
     "ann_bruteforce",
     "ann_lsh",

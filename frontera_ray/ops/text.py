@@ -263,6 +263,222 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
     )
 
 
+def top_ngrams(sf_dir: str, n: int = 2, k: int = 20):
+    """Corpus-level n-gram frequency table, top-k by count (the n-gram
+    statistics pass of LLM-corpus analysis). Distributed shape: per-batch
+    Counter partials (one row per distinct n-gram per batch — the combiner
+    pattern, so the groupby shuffles counts, not occurrences) → ONE small
+    groupby sum → per-batch partial top-k → driver merges k rows per
+    block. Ties broken by n-gram text for determinism."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            toks = text.split(" ")
+            c.update(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+        return pa.table(
+            {
+                "ngram": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["cnt", "ngram"], ascending=[False, True], kind="mergesort")
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = agg.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    top = (
+        parts.sort_values(["cnt", "ngram"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "ngram": pa.array(top["ngram"].tolist(), pa.string()),
+            "cnt": pa.array(top["cnt"].to_numpy(), pa.int64()),
+            "rk": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+        }
+    )
+
+
+def vocab_prune(sf_dir: str, min_count: int = 100):
+    """Rare-token replacement (vocabulary pruning): tokens whose global
+    corpus count < min_count become '<unk>'. Two passes: (1) per-batch
+    token-count partials → small groupby sum → the KEEP vocabulary
+    (count ≥ min_count). Partitioning assumption: the keep set is the
+    Zipf HEAD of the vocabulary, bounded for any fixed min_count, so it
+    broadcasts via ray.put; the unbounded rare TAIL never leaves the
+    aggregate. (2) map_batches rewrite against the broadcast set."""
+    import ray
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(text.split(" "))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    keep_ref = ray.put(frozenset(vocab["term"].tolist()))
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        texts, n_unk = [], []
+        for text in t["text"].to_pylist():
+            toks = text.split(" ")
+            kept = [w in keep for w in toks]
+            texts.append(" ".join(w if ok else "<unk>" for w, ok in zip(toks, kept)))
+            n_unk.append(len(toks) - sum(kept))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_pruned": pa.array(texts, pa.string()),
+                "n_unk": pa.array(n_unk, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prune, batch_format="pyarrow")
+
+
+def bm25_topk(
+    sf_dir: str,
+    terms: tuple = ("merge", "join", "stream"),
+    k: int = 10,
+):
+    """BM25 text retrieval (Robertson/Sparck Jones, public formula,
+    k1=1.5 b=0.75) with a raw idf ratio (N-df+0.5)/(df+0.5) instead of
+    its log — ln() is not bit-stable across engines. Per-term
+    contributions are floored to int micro-units BEFORE summing so the
+    doc score is an order-independent integer sum (float += order would
+    differ between engines). Distributed shape: one partial pass for
+    corpus stats (N, total tokens, per-term df — scalars broadcast via
+    closure), one scoring pass with per-batch partial top-k."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    tset = tuple(sorted(terms))
+
+    def stat_partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        dfc: Counter = Counter()
+        sum_dl = 0
+        for text in t["text"].to_pylist():
+            toks = text.split(" ")
+            sum_dl += len(toks)
+            present = set(toks)
+            dfc.update(w for w in tset if w in present)
+        rows_t = [""] + [w for w in tset]
+        rows_df = [0] + [dfc.get(w, 0) for w in tset]
+        rows_n = [t.num_rows] + [0] * len(tset)
+        rows_dl = [sum_dl] + [0] * len(tset)
+        return pa.table(
+            {
+                "term": pa.array(rows_t, pa.string()),
+                "df": pa.array(rows_df, pa.int64()),
+                "n_docs": pa.array(rows_n, pa.int64()),
+                "sum_dl": pa.array(rows_dl, pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(stat_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_dl", alias_name="sum_dl"),
+        )
+        .to_pandas()
+    )
+    n_docs = int(stats["n_docs"].sum())
+    avgdl = (float(stats["sum_dl"].sum()) * 1.0) / float(n_docs)
+    df_of = dict(zip(stats["term"], stats["df"]))
+
+    def score(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, scores = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = text.split(" ")
+            dl = float(len(toks))
+            c = Counter(toks)
+            total = 0
+            for w in tset:
+                tf = float(c.get(w, 0))
+                if tf == 0.0:
+                    continue
+                den = tf + 1.5 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)
+                idf = (n_docs - int(df_of[w]) + 0.5) / (int(df_of[w]) + 0.5)
+                total += int(np.floor(tf * 2.5 / den * idf * 1_000_000.0 + 0.5))
+            if total > 0:
+                ids.append(doc_id)
+                scores.append(total)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score_e6": pa.array(scores, pa.int64()),
+            }
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["score_e6", "doc_id"], ascending=[False, True], kind="mergesort")
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = (
+        parts.sort_values(["score_e6", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+            "score_e6": pa.array(top["score_e6"].to_numpy(), pa.int64()),
+            "rk": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+        }
+    )
+
+
 def doc_fingerprints(sf_dir: str, window: int = 4, keep_mod: int = 8):
     """Winnowing-style document fingerprints (Schleimer et al., SIGMOD 2003
     flavor, simplified): rolling hash over token windows, keep hashes ≡ 0
