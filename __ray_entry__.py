@@ -132,9 +132,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": ann.ann_lsh,
         "ann_ivf": ann.ann_ivf,
         "embedding_stats": ann.embedding_stats,
-        # temporal joins / sessions
+        # temporal joins / sessions / behavioral analytics
         "asof_join": temporal.asof_join,
         "sessionize": temporal.sessionize,
+        "funnel_counts": temporal.funnel_counts,
+        "retention_cohorts": temporal.retention_cohorts,
         # sketches + sampling
         "hll_distinct_users": sketches.hll_distinct_users,
         "hash_sample": sketches.hash_sample,
@@ -664,6 +666,37 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
             "ORDER BY score_e6 DESC, term) AS rk FROM s) "
             "SELECT lang, term, tf, df, score_e6, rk FROM r WHERE rk <= 5"
+        ),
+        # strict-sequence funnel: step i+1 must occur strictly after the
+        # user's earliest qualifying step-i event
+        "funnel_counts": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS reached_ts FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS reached_ts FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.reached_ts "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS reached_ts FROM events e "
+            "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.reached_ts "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step, "
+            "(SELECT count(*) FROM s1) AS n_users "
+            "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2) "
+            "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"
+        ),
+        # cohort retention matrix on epoch-day ints (date dtypes don't
+        # hash stably across engines)
+        "retention_cohorts": (
+            "WITH d AS (SELECT user_id, "
+            "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day "
+            "FROM events), "
+            "f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id), "
+            "u AS (SELECT DISTINCT d.user_id, f.cohort_day, "
+            "d.day - f.cohort_day AS day_offset "
+            "FROM d JOIN f ON d.user_id = f.user_id) "
+            "SELECT CAST(cohort_day AS BIGINT) AS cohort_day, "
+            "CAST(day_offset AS BIGINT) AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM u GROUP BY cohort_day, day_offset"
         ),
         # corpus-level bigram frequency, top-k by count (ties by text)
         "top_ngrams": (

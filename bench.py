@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "top_ngrams",
     "vocab_prune",
     "bm25_topk",
+    "funnel_counts",
+    "retention_cohorts",
     "lang_id",
     "ann_bruteforce",
     "ann_lsh",

@@ -97,6 +97,102 @@ def asof_join(sf_dir: str):
     )
 
 
+def funnel_counts(
+    sf_dir: str, steps: tuple = ("view", "click", "purchase")
+):
+    """Ordered-funnel analysis: how many users reached step i, where step
+    i+1 must occur STRICTLY AFTER the user's earliest qualifying step-i
+    event (the classic strict-sequence funnel). One shuffle on the
+    hash-bucketed user key; within a bucket every step is one filtered
+    groupby-min + merge (vectorized over all users at once). Buckets emit
+    per-step partial user counts; the driver sums ≤ len(steps) × buckets
+    tiny rows."""
+    events = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # cur: per-user timestamp of reaching the previous step
+        cur = None
+        out_steps, out_counts = [], []
+        for i, step in enumerate(steps):
+            ev = g[g["event_type"] == step]
+            if cur is not None:
+                ev = ev.merge(cur, on="user_id", how="inner")
+                ev = ev[ev["ts"] > ev["reached_ts"]]
+                ev = ev.drop(columns=["reached_ts"])
+            nxt = ev.groupby("user_id", as_index=False).agg(reached_ts=("ts", "min"))
+            out_steps.append(i + 1)
+            out_counts.append(len(nxt))
+            cur = nxt
+        return pd.DataFrame(
+            {
+                "stage": np.asarray(out_steps, np.int64),
+                "step": list(steps),
+                "n_users": np.asarray(out_counts, np.int64),
+            }
+        )
+
+    parts = (
+        _with_bucket(events, "user_id")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = (
+        parts.groupby(["stage", "step"], as_index=False)["n_users"]
+        .sum()
+        .sort_values("stage", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "stage": pa.array(agg["stage"].to_numpy(), pa.int64()),
+            "step": pa.array(agg["step"].tolist(), pa.string()),
+            "n_users": pa.array(agg["n_users"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users grouped by the DAY of their first
+    event (epoch-day int — date dtypes don't hash stably across engines),
+    counted once per (cohort, day-offset) they were active. Because a user
+    lives in exactly one hash bucket, the per-bucket distinct
+    (user, cohort, offset) triples are globally distinct, so buckets emit
+    exact partial counts and ONE tiny groupby sums them — the full events
+    table is never re-shuffled on the cohort key."""
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "day": day})
+        cohort = df.groupby("user_id")["day"].transform("min")
+        df["cohort_day"] = cohort
+        df["day_offset"] = df["day"] - cohort
+        uniq = df[["user_id", "cohort_day", "day_offset"]].drop_duplicates()
+        cnt = uniq.groupby(["cohort_day", "day_offset"], as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        return pd.DataFrame(
+            {
+                "cohort_day": cnt["cohort_day"].to_numpy().astype(np.int64),
+                "day_offset": cnt["day_offset"].to_numpy().astype(np.int64),
+                "n_users": cnt["n_users"].to_numpy().astype(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _with_bucket(events, "user_id")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session counts per user: a new session starts when the gap since the
     previous event exceeds `gap_minutes` (classic sessionization). One
