@@ -182,14 +182,23 @@ def retention_cohorts(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    return (
+    # partials are bounded by cohorts × offsets (≤ T² for a T-day log),
+    # not by event rows — a driver-side merge of the tiny per-bucket
+    # frames beats a second sort shuffle (measured ~1 s of pure
+    # small-block Aggregate overhead at sf0.1)
+    parts = (
         _with_bucket(events, "user_id")
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
-        .groupby(["cohort_day", "day_offset"])
-        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    agg = parts.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"].sum()
+    return pa.table(
+        {
+            "cohort_day": pa.array(agg["cohort_day"].to_numpy(), pa.int64()),
+            "day_offset": pa.array(agg["day_offset"].to_numpy(), pa.int64()),
+            "n_users": pa.array(agg["n_users"].to_numpy(), pa.int64()),
+        }
     )
 
 
