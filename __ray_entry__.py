@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": text.top_ngrams,
         "vocab_prune": text.vocab_prune,
         "bm25_topk": text.bm25_topk,
+        "contamination_check": text.contamination_check,
         # similarity search
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_lsh": ann.ann_lsh,
@@ -697,6 +698,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(day_offset AS BIGINT) AS day_offset, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM u GROUP BY cohort_day, day_offset"
+        ),
+        # benchmark decontamination: distinct-trigram overlap of each
+        # corpus doc (doc_id >= 5) against the doc_id < 5 benchmark set
+        "contamination_check": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM toks), "
+            "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5), "
+            "dg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= 5), "
+            "st AS (SELECT doc_id, count(*) AS n_grams, "
+            "sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit "
+            "FROM dg LEFT JOIN bg USING (gram) GROUP BY doc_id) "
+            "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+            "CAST(n_hit AS BIGINT) AS n_contaminated, "
+            "CAST(floor(n_hit * 1000000.0 / n_grams + 0.5) AS BIGINT) AS frac_e6 "
+            "FROM st"
         ),
         # corpus-level bigram frequency, top-k by count (ties by text)
         "top_ngrams": (

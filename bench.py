@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "top_ngrams",
     "vocab_prune",
     "bm25_topk",
+    "contamination_check",
     "funnel_counts",
     "retention_cohorts",
     "lang_id",

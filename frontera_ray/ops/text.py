@@ -479,6 +479,68 @@ def bm25_topk(
     )
 
 
+def contamination_check(sf_dir: str, n_bench: int = 5, n: int = 3):
+    """Benchmark decontamination (the n-gram-overlap check of public LLM
+    training recipes): flag corpus documents whose token n-grams overlap a
+    benchmark set (here: doc_id < n_bench stands in for the eval set).
+    Distributed shape: the benchmark n-gram set is bounded by the
+    benchmark's size — built once with a filtered scan and broadcast via
+    ray.put; the corpus streams, each batch counting its docs' DISTINCT
+    grams against the broadcast set. Emits per-doc distinct-gram counts,
+    hit counts and the contamination fraction (floor-e6)."""
+    import ray
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def grams_of(text: str):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        out: set = set()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        for doc_id, text in zip(ids, t["text"].to_pylist()):
+            if doc_id < n_bench:
+                out |= grams_of(text)
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    bench = (
+        ds.map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()["gram"]
+        .tolist()
+    )
+    bench_ref = ray.put(frozenset(bench))
+
+    def check(t: pa.Table) -> pa.Table:
+        bg = ray.get(bench_ref)
+        ids, n_g, n_hit, frac = [], [], [], []
+        for doc_id, text in zip(
+            t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pylist()
+        ):
+            if doc_id < n_bench:
+                continue
+            g = grams_of(text)
+            if not g:
+                continue
+            h = len(g & bg)
+            ids.append(int(doc_id))
+            n_g.append(len(g))
+            n_hit.append(h)
+            frac.append(int(np.floor(h * 1_000_000.0 / len(g) + 0.5)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(n_g, pa.int64()),
+                "n_contaminated": pa.array(n_hit, pa.int64()),
+                "frac_e6": pa.array(frac, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
 def doc_fingerprints(sf_dir: str, window: int = 4, keep_mod: int = 8):
     """Winnowing-style document fingerprints (Schleimer et al., SIGMOD 2003
     flavor, simplified): rolling hash over token windows, keep hashes ≡ 0
