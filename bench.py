@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "contamination_check",
     "funnel_counts",
     "retention_cohorts",
+    "asof_join",
+    "sessionize",
     "lang_id",
     "ann_bruteforce",
     "ann_lsh",
