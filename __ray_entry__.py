@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample": sketches.bottomk_sample,
         "weighted_sample": sketches.weighted_sample,
         "regex_token_stats": sketches.regex_token_stats,
+        "props_extract_agg": sketches.props_extract_agg,
         # multimodal plumbing (stub decode, real actor/batch/schema path)
         "media_features": multimodal.media_features,
         "media_pipeline": multimodal.media_pipeline,
@@ -763,6 +764,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score_e6, "
             "row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rk "
             "FROM s WHERE score_e6 > 0 ORDER BY score_e6 DESC, doc_id LIMIT 10"
+        ),
+        # semi-structured ETL: integer field out of the JSON-ish props
+        # column, same RE2 pattern both engines
+        "props_extract_agg": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, "
+            "CAST(min(k) AS BIGINT) AS min_k, "
+            "CAST(max(k) AS BIGINT) AS max_k FROM ("
+            "SELECT event_type, "
+            "CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events"
+            ") GROUP BY event_type"
         ),
         # fixed-size bottom-k / weighted priority samples: selection by
         # ORDER BY hash-priority LIMIT k mirrors the engine's per-batch

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "asof_join",
     "sessionize",
+    "props_extract_agg",
     "lang_id",
     "ann_bruteforce",
     "ann_lsh",

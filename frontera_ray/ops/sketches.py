@@ -19,6 +19,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..strategy import splitmix64
@@ -240,6 +241,44 @@ def regex_token_stats(sf_dir: str):
         ds.map_batches(tok, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_regex_tokens"))
+    )
+
+
+def props_extract_agg(sf_dir: str):
+    """Semi-structured ETL: extract the integer field from the JSON-ish
+    `props` column with ONE vectorized Arrow regex kernel (zero-copy, no
+    per-row json.loads) and aggregate per event type via per-batch
+    partials — the scan never re-shuffles raw rows. Oracle mirrors the
+    same RE2 pattern with DuckDB regexp_extract."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(pc.extract_regex(t["props"], r"(?P<k>[0-9]+)"), "k"),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "k": k.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
     )
 
 
