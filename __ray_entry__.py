@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": sketches.weighted_sample,
         "regex_token_stats": sketches.regex_token_stats,
         "props_extract_agg": sketches.props_extract_agg,
+        "value_histogram": relational.value_histogram,
         # multimodal plumbing (stub decode, real actor/batch/schema path)
         "media_features": multimodal.media_features,
         "media_pipeline": multimodal.media_pipeline,
@@ -764,6 +765,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score_e6, "
             "row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rk "
             "FROM s WHERE score_e6 > 0 ORDER BY score_e6 DESC, doc_id LIMIT 10"
+        ),
+        # fixed-width value histogram (bin = floor(value/25))
+        "value_histogram": (
+            "SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY bin"
         ),
         # semi-structured ETL: integer field out of the JSON-ish props
         # column, same RE2 pattern both engines

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "asof_join",
     "sessionize",
     "props_extract_agg",
+    "value_histogram",
     "lang_id",
     "ann_bruteforce",
     "ann_lsh",

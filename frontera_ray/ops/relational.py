@@ -495,6 +495,34 @@ def quantiles(sf_dir: str):
     return ds.groupby("event_type").map_groups(q, batch_format="pandas")
 
 
+def value_histogram(sf_dir: str, width: float = 25.0):
+    """Fixed-width histogram of event value (the profiling primitive for
+    any numeric column at scale): each batch collapses to one partial
+    count-per-bin row set via np.bincount, so the shuffle carries
+    O(bins × blocks) rows regardless of input size. Bin = floor(value /
+    width) — the identical IEEE double division on both engines."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / width).astype(np.int64)
+        nbin = int(b.max()) + 1 if len(b) else 0
+        cnt = np.bincount(b, minlength=nbin)
+        present = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bin": pa.array(present.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt[present].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP(lang, source) counts: detail + per-lang subtotal +
     grand total, expressed as three Arrow-native groupbys unioned with
