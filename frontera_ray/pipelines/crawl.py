@@ -468,9 +468,33 @@ class Crawler:
             le = fmeta.groupby("partition")["n_links"].sum()
             counters += [(int(p), "links_extracted", int(v)) for p, v in le.items()]
         if not gate_df.empty:
-            gate = gate_df.groupby("partition").sum()
+            gate = gate_df[gate_df["partition"] >= 0].groupby("partition").sum()
             for p, r in gate.iterrows():
                 counters.append((int(p), "links_filtered", int(r["n"] - r["ok"])))
+
+        # ASYNC-offer barrier: the fused execution finished, but its offer
+        # RPCs were fire-and-forget (they no longer block map tasks — one
+        # network RTT per batch per shard on a real cluster). Resolve may
+        # only run after every shard absorbed exactly the calls the gate
+        # partials report submitted (>= under task retry, which re-offers
+        # — same idempotence envelope as the old blocking path).
+        if not gate_df.empty and "shard" in gate_df.columns:
+            exp = gate_df[gate_df["shard"] >= 0].groupby("shard")["offers"].sum()
+            need = {int(k): int(v) for k, v in exp.items() if v > 0}
+            deadline = time.monotonic() + 300.0
+            while need:
+                got = ray.get(
+                    [self.shards[k].offers_processed.remote() for k in need]
+                )
+                need = {
+                    k: v for (k, v), g in zip(list(need.items()), got) if g < v
+                }
+                if need:
+                    if time.monotonic() > deadline:
+                        raise RuntimeError(
+                            f"offer barrier timed out; outstanding={need}"
+                        )
+                    time.sleep(0.002)
 
         t0 = _t()
         qdir = ck.queued_dir(epoch)

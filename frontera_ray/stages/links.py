@@ -96,8 +96,35 @@ class AdmitOfferStage:
                 "partition": pa.array([], pa.int32()),
                 "ok": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int32()),
+                "offers": pa.array([], pa.int64()),
             }
         )
+
+    @staticmethod
+    def _with_offer_rows(counters: pa.Table, used_shards: list[int]) -> pa.Table:
+        """Gate-counter rows (shard=-1) + one row per shard this batch
+        submitted an ASYNC offer to (partition=-1). The driver sums the
+        `offers` column per shard as the resolve barrier's expected call
+        count — offers stop blocking the map task (one network RTT per
+        batch per shard on a real cluster) and overlap with extraction."""
+        n = counters.num_rows
+        counters = counters.append_column(
+            "shard", pa.array(np.full(n, -1, dtype=np.int32))
+        ).append_column("offers", pa.array(np.zeros(n, dtype=np.int64)))
+        if not used_shards:
+            return counters
+        k = len(used_shards)
+        extra = pa.table(
+            {
+                "partition": pa.array(np.full(k, -1, dtype=np.int32)),
+                "ok": pa.array(np.zeros(k, dtype=np.int64)),
+                "n": pa.array(np.zeros(k, dtype=np.int64)),
+                "shard": pa.array(np.asarray(used_shards, dtype=np.int32)),
+                "offers": pa.array(np.ones(k, dtype=np.int64)),
+            }
+        )
+        return pa.concat_tables([counters, extra])
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -109,18 +136,19 @@ class AdmitOfferStage:
     def _legacy(self, t: pa.Table) -> pa.Table:
         gated = self.admit(t)
         allowed = gated.filter(gated.column("allowed"))
-        self.offer(allowed)
+        used = self.offer.offer_async(allowed)
         parts = gated["partition"].to_numpy(zero_copy_only=False)
         ok = gated["allowed"].to_numpy(zero_copy_only=False).astype(np.int64)
         df = pd.DataFrame({"partition": parts, "ok": ok})
         g = df.groupby("partition").agg(ok=("ok", "sum"), n=("ok", "size"))
-        return pa.table(
+        counters = pa.table(
             {
                 "partition": pa.array(g.index.to_numpy(), pa.int32()),
                 "ok": pa.array(g["ok"].to_numpy(), pa.int64()),
                 "n": pa.array(g["n"].to_numpy(), pa.int64()),
             }
         )
+        return self._with_offer_rows(counters, used)
 
     def _fast(self, t: pa.Table) -> pa.Table:
         """Factorize-first gate+offer (round-3): most extracted edges in a
@@ -167,7 +195,7 @@ class AdmitOfferStage:
             }
         )
         if not ok_e.any():
-            return counters
+            return self._with_offer_rows(counters, [])
         # ---- level A: per raw-url winner + cash sum over allowed edges
         codes_a = codes[ok_e]
         depth_a = t["depth"].to_numpy(zero_copy_only=False)[ok_e]
@@ -201,18 +229,18 @@ class AdmitOfferStage:
             key=("key", "min"), cash=("cash", "sum"), partition=("partition", "first")
         )
         shard_of = agg["partition"].to_numpy() % len(self.offer.shards)
-        futs = []
+        used = []
         for s in np.unique(shard_of):
             sub = agg[shard_of == s]
-            futs.append(
-                self.offer.shards[int(s)].offer.remote(
-                    sub.index.to_numpy(dtype=np.uint64),
-                    sub["key"].tolist(),
-                    sub["cash"].to_numpy(),
-                )
+            # ASYNC: actor submission is eager; the driver's count barrier
+            # (crawl.run_epoch) guarantees absorption before resolve
+            self.offer.shards[int(s)].offer.remote(
+                sub.index.to_numpy(dtype=np.uint64),
+                sub["key"].tolist(),
+                sub["cash"].to_numpy(),
             )
-        ray.get(futs)
-        return counters
+            used.append(int(s))
+        return self._with_offer_rows(counters, used)
 
 
 def _base_filter_extracted_links():
@@ -271,6 +299,43 @@ class OfferStage:
             )
         total = int(sum(ray.get(futs)))
         return pa.table({"offered": pa.array([total], pa.int64())})
+
+    def offer_async(self, t: pa.Table) -> list[int]:
+        """Submit this batch's offers WITHOUT waiting (actor submission is
+        eager) and return the shard indices used, for the driver's
+        count-based resolve barrier."""
+        if t.num_rows == 0:
+            return []
+        depth = t["depth"].to_pylist()
+        parent = t["parent_fp64"].to_pylist()
+        urls = t["url"].to_pylist()
+        keys = [f"{d:06d}|{p:016x}|{u}" for d, p, u in zip(depth, parent, urls)]
+        cash = (
+            t["parent_score"].to_numpy(zero_copy_only=False)
+            / np.maximum(t["parent_outdeg"].to_numpy(zero_copy_only=False), 1)
+        )
+        df = pd.DataFrame(
+            {
+                "fp64": t["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                "partition": t["partition"].to_numpy(zero_copy_only=False),
+                "key": keys,
+                "cash": cash,
+            }
+        )
+        agg = df.groupby("fp64", sort=False).agg(
+            key=("key", "min"), cash=("cash", "sum"), partition=("partition", "first")
+        )
+        shard_of = agg["partition"].to_numpy() % len(self.shards)
+        used = []
+        for s in np.unique(shard_of):
+            sub = agg[shard_of == s]
+            self.shards[int(s)].offer.remote(
+                sub.index.to_numpy(dtype=np.uint64),
+                sub["key"].tolist(),
+                sub["cash"].to_numpy(),
+            )
+            used.append(int(s))
+        return used
 
 
 def aggregate_candidates(admitted_ds, cfg: CrawlConfig):

@@ -215,12 +215,14 @@ class SeenShard:
         self._policy = policy
         self._np = num_partitions
         self._mode = mode
+        self._offer_calls = 0
 
     def offer(self, fps: np.ndarray, keys: list[str], cash: np.ndarray) -> int:
         """Accumulate candidate edges for unseen fps; returns #accepted.
         Vectorized: one membership probe + one frame append per call."""
         import pandas as pd
 
+        self._offer_calls += 1
         fps = np.asarray(fps, dtype=np.uint64)
         if len(fps) == 0:
             return 0
@@ -309,6 +311,12 @@ class SeenShard:
             "per_partition": {int(p): int(c) for p, c in zip(parts, counts)},
             "path": out_path,
         }
+
+    def offers_processed(self) -> int:
+        """Barrier support for ASYNC offers: the driver compares this to
+        the submitted-call count reported through the gate partials and
+        only resolves once every in-flight offer has been absorbed."""
+        return getattr(self, "_offer_calls", 0)
 
     def contains(self, fps: np.ndarray) -> np.ndarray:
         fps = np.asarray(fps, dtype=np.uint64)
