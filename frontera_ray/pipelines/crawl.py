@@ -422,7 +422,7 @@ class Crawler:
                 return t.filter(_pc.is_in(t["raw_url"], value_set=ray.get(win_ref)))
 
             chain = chain.map_batches(keep_winner, batch_format="pyarrow")
-        gate_df = (
+        gate_ds = (
             chain.map_batches(
                 WriteOut(ck.out_dir(epoch), epoch), batch_format="pyarrow"
             )
@@ -435,9 +435,13 @@ class Crawler:
                 ),
                 batch_format="pyarrow",
             )
-            .to_pandas()
         )
+        gate_df = gate_ds.to_pandas()
         stage_sec["extract_admit_offer"] = round(_t() - t0, 3)
+        if os.environ.get("GRAFT_STAGE_STATS") == "1":
+            import sys as _sys
+
+            print(gate_ds.stats(), file=_sys.stderr)
         if single_pass:
             # fetched-meta from the out parts this execution just wrote —
             # ONE multithreaded dataset read of the whole directory (a
