@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "pagerank_pairs": dedup.pagerank_pairs,
         # text analysis
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -613,6 +614,37 @@ def oracle_sql() -> dict[str, str]:
             "ON a.label = b.label AND a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+        ),
+        # fixed-point PageRank (damping .85, 3 iterations) over the
+        # near-dup pair graph: all-int64 floor-division arithmetic, so
+        # both engines are bit-exact (no float accumulation)
+        "pagerank_pairs": (
+            "WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b "
+            "ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4), "
+            "e AS (SELECT vec_a AS node, vec_b AS nbr FROM p "
+            "UNION ALL SELECT vec_b, vec_a FROM p), "
+            "d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY node), "
+            "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d), "
+            "s0 AS (SELECT d.node, 1000000000 // nn.n AS s FROM d, nn), "
+            "i1 AS (SELECT e.nbr AS node, CAST(sum((85 * s0.s) // (100 * d.deg)) "
+            "AS BIGINT) AS inc FROM e JOIN s0 ON e.node = s0.node "
+            "JOIN d ON e.node = d.node GROUP BY e.nbr), "
+            "s1 AS (SELECT i1.node, (15000000000 // (100 * nn.n)) + inc AS s "
+            "FROM i1, nn), "
+            "i2 AS (SELECT e.nbr AS node, CAST(sum((85 * s1.s) // (100 * d.deg)) "
+            "AS BIGINT) AS inc FROM e JOIN s1 ON e.node = s1.node "
+            "JOIN d ON e.node = d.node GROUP BY e.nbr), "
+            "s2 AS (SELECT i2.node, (15000000000 // (100 * nn.n)) + inc AS s "
+            "FROM i2, nn), "
+            "i3 AS (SELECT e.nbr AS node, CAST(sum((85 * s2.s) // (100 * d.deg)) "
+            "AS BIGINT) AS inc FROM e JOIN s2 ON e.node = s2.node "
+            "JOIN d ON e.node = d.node GROUP BY e.nbr), "
+            "s3 AS (SELECT i3.node, (15000000000 // (100 * nn.n)) + inc AS s "
+            "FROM i3, nn) "
+            "SELECT node AS vec_id, CAST(s AS BIGINT) AS score_e9 FROM s3"
         ),
         "embedding_stats": (
             "SELECT label, count(*) AS n, "

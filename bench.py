@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_dup_pairs",
+    "pagerank_pairs",
     "token_stats",
     "quality_scores",
     "repetition_scores",

@@ -793,6 +793,93 @@ def cluster_reps_labelprop(
     )
 
 
+def pagerank_pairs(sf_dir: str, threshold: float = 0.4, iters: int = 3):
+    """Fixed-point PageRank over the embedding near-dup pair graph
+    (damping 0.85, `iters` full power iterations) — the iterative
+    score-propagation pattern (Page et al. 1999; the crawl's OPIC is its
+    online cousin). ALL arithmetic is int64 micro-units with floor
+    division ((85*s)//(100*deg)), so per-node sums are order-independent
+    and the DuckDB mirror is bit-exact — no float accumulation anywhere.
+    Distributed shape per iteration (same as cluster_reps_labelprop):
+    edges ∪ score-side → grouped send (each node ships its contribution
+    to every neighbour; degree read off the group) → Sum aggregate.
+    Two bounded shuffles per iteration; the driver holds only the
+    O(pairs) edge list (the established envelope for this graph)."""
+    from ray.data.aggregate import Sum
+
+    pairs = embedding_dup_pairs(sf_dir, threshold)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "score_e9": pa.array([], pa.int64())}
+        )
+    a = pairs["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    n = len(nodes)
+    s0 = 10**9 // n
+    base = 15_000_000_000 // (100 * n)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+                "s": pa.array(np.full(2 * len(a), -1), pa.int64()),
+            }
+        )
+    )
+    scores = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "s": pa.array(np.full(n, s0), pa.int64()),
+            }
+        )
+    )
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        s = int(g.loc[g["s"] >= 0, "s"].iloc[0])
+        nbrs = g.loc[g["s"] < 0, "nbr"].to_numpy(dtype=np.int64)
+        c = (85 * s) // (100 * len(nbrs))
+        return pd.DataFrame({"node": nbrs, "c": np.full(len(nbrs), c, dtype=np.int64)})
+
+    for _ in range(iters):
+        s_side = scores.map_batches(
+            lambda t: t.append_column(
+                "nbr", pa.array(np.full(t.num_rows, -1), pa.int64())
+            ).select(["node", "nbr", "s"]),
+            batch_format="pyarrow",
+        )
+        inc = (
+            edges.union(s_side)
+            .repartition(32)  # sort-parallelism fix, see hash_shuffle_join
+            .groupby("node")
+            .map_groups(send, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="inc"))
+        )
+        scores = inc.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "s": pa.array(
+                        t["inc"].to_numpy(zero_copy_only=False).astype(np.int64)
+                        + base,
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    out = scores.to_pandas().sort_values("node", kind="mergesort")
+    return pa.table(
+        {
+            "vec_id": pa.array(out["node"].to_numpy(), pa.int64()),
+            "score_e9": pa.array(out["s"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------- embedding cosine near-dup --
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4, block: int = 4096):
     """Embedding-cosine near-dup, blocked by label (the blocking key stands
