@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": temporal.retention_cohorts,
         # sketches + sampling
         "hll_distinct_users": sketches.hll_distinct_users,
+        "quantile_sketch": sketches.quantile_sketch,
         "hash_sample": sketches.hash_sample,
         "stratified_sample": sketches.stratified_sample,
         "bottomk_sample": sketches.bottomk_sample,

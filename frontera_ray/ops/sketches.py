@@ -244,6 +244,132 @@ def regex_token_stats(sf_dir: str):
     )
 
 
+class QuantileSketch:
+    """Mergeable quantile sketch — deterministic KLL-style compactor
+    (Karnin/Lang/Liberty, FOCS 2016, with the fixed even-index
+    compaction offset instead of the randomized one): level i holds at
+    most k values each representing 2^i originals; an overfull level is
+    sorted and its even-indexed half promoted. Deterministic ⇒ the same
+    input partitioned ANY way merges to the same sketch ranks
+    (reproducibility over unbiasedness — the right trade for a
+    determinism-tested engine; error is tolerance-tested, ~O(n/k) rank
+    error). This is the at-scale path for percentiles where the exact
+    `quantiles` op's per-group sort is infeasible."""
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                buf = np.sort(self.levels[i], kind="stable")
+                promoted = buf[0::2]
+                self.levels[i] = np.empty(0, np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def add_batch(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact()
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for i, lv in enumerate(other.levels):
+            if i == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compact()
+        return self
+
+    def quantile(self, q: float) -> float:
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(len(lv), 1 << i, np.int64) for i, lv in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        total = int(wts.sum())
+        rank = max(1, int(np.ceil(q * total)))  # quantile_disc semantics
+        idx = int(np.searchsorted(np.cumsum(wts), rank))
+        return float(vals[min(idx, len(vals) - 1)])
+
+    def dump(self) -> bytes:
+        import struct as _struct
+
+        out = [_struct.pack("<QQ", self.k, len(self.levels))]
+        for lv in self.levels:
+            out.append(_struct.pack("<Q", len(lv)))
+            out.append(np.ascontiguousarray(lv).tobytes())
+        return b"".join(out)
+
+    @classmethod
+    def restore(cls, data: bytes) -> "QuantileSketch":
+        import struct as _struct
+
+        k, nlev = _struct.unpack_from("<QQ", data, 0)
+        obj = cls(int(k))
+        obj.levels = []
+        off = 16
+        for _ in range(nlev):
+            (n,) = _struct.unpack_from("<Q", data, off)
+            off += 8
+            obj.levels.append(
+                np.frombuffer(data, dtype=np.float64, count=n, offset=off).copy()
+            )
+            off += 8 * n
+        return obj
+
+
+def quantile_sketch(sf_dir: str, k: int = 256):
+    """Approximate per-event-type value percentiles via mergeable
+    QuantileSketch partials: one sketch per (batch × type) travels as
+    bytes, a tiny driver pass merges (#batches × #types sketches — the
+    HLL pattern). Rows-only correctness class (approximate by nature):
+    rank-tolerance-tested against exact quantile_disc in pytest."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "value": t["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        types, blobs = [], []
+        for et, g in df.groupby("event_type"):
+            s = QuantileSketch(k)
+            s.add_batch(g["value"].to_numpy(dtype=np.float64))
+            types.append(et)
+            blobs.append(s.dump())
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "sketch": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    merged: dict[str, QuantileSketch] = {}
+    for r in parts.itertuples():
+        s = QuantileSketch.restore(r.sketch)
+        if r.event_type in merged:
+            merged[r.event_type].merge(s)
+        else:
+            merged[r.event_type] = s
+    types = sorted(merged)
+    cols = {"event_type": pa.array(types, pa.string())}
+    for q, name in ((0.5, "p50_e4"), (0.9, "p90_e4"), (0.99, "p99_e4")):
+        cols[name] = pa.array(
+            [int(np.floor(merged[t].quantile(q) * 10_000 + 0.5)) for t in types],
+            pa.int64(),
+        )
+    return pa.table(cols)
+
+
 def props_extract_agg(sf_dir: str):
     """Semi-structured ETL: extract the integer field from the JSON-ish
     `props` column with ONE vectorized Arrow regex kernel (zero-copy, no
