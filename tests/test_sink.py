@@ -71,3 +71,33 @@ def test_rerun_is_idempotent_and_skips(ray_session, out_dir):
     files3 = sorted(glob.glob(os.path.join(out_dir, "**", "*.parquet")))
     assert man3 == man1
     assert files3 == files1
+
+
+def test_weird_partition_values_are_sanitized(ray_session, out_dir):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from frontera_ray.sources.sink import write_partitioned
+
+    t = pa.table(
+        {
+            "k": pa.array(["a/b", "c d", "x..", "plain"] * 3, pa.string()),
+            "v": pa.array(list(range(12)), pa.int64()),
+        }
+    )
+    man = write_partitioned(rd.from_arrow(t), out_dir, "k")
+    assert man["rows"] == 12
+    assert sorted(man["partitions"]) == ["a/b", "c d", "plain", "x.."]
+    # every partition dir is a DIRECT child (no path traversal from '/')
+    kids = sorted(os.listdir(out_dir))
+    assert all(k.startswith("part-") or k == "_SUCCESS.json" for k in kids)
+    assert len([k for k in kids if k.startswith("part-")]) == 4
+    # read-back: each dir holds only its own partition's rows
+    total = 0
+    for k in kids:
+        if not k.startswith("part-"):
+            continue
+        got = pq.read_table(os.path.join(out_dir, k))
+        assert len(set(got["k"].to_pylist())) == 1
+        total += got.num_rows
+    assert total == 12
