@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_token_stats": sketches.regex_token_stats,
         "props_extract_agg": sketches.props_extract_agg,
         "value_histogram": relational.value_histogram,
+        "star_join_revenue": relational.star_join_revenue,
         # multimodal plumbing (stub decode, real actor/batch/schema path)
         "media_features": multimodal.media_features,
         "media_pipeline": multimodal.media_pipeline,
@@ -798,6 +799,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score_e6, "
             "row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rk "
             "FROM s WHERE score_e6 > 0 ORDER BY score_e6 DESC, doc_id LIMIT 10"
+        ),
+        # star join: fact streams, both dims broadcast (TPC-H Q9 flavor)
+        "star_join_revenue": (
+            "SELECT p.p_brand, n.n_name, CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 10000 "
+            "+ 0.5) AS BIGINT) AS sum_revenue_e4 "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "GROUP BY p.p_brand, n.n_name"
         ),
         # fixed-width value histogram (bin = floor(value/25))
         "value_histogram": (

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "sessionize",
     "props_extract_agg",
     "value_histogram",
+    "star_join_revenue",
     "lang_id",
     "ann_bruteforce",
     "ann_lsh",

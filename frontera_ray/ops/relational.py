@@ -495,6 +495,49 @@ def quantiles(sf_dir: str):
     return ds.groupby("event_type").map_groups(q, batch_format="pandas")
 
 
+def star_join_revenue(sf_dir: str):
+    """Star join (TPC-H Q9 flavor): lineitem ⋈ part ⋈ supplier ⋈ nation →
+    revenue per (brand, nation). BOTH dimension sides are broadcast once
+    via ray.put (classic star-schema shape: fact streams, dims are small
+    everywhere); each batch merges both dims and collapses to per-group
+    partials, so the final shuffle carries O(brands × nations × blocks)
+    rows."""
+    import ray
+
+    part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    supp = pd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    supp = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]
+    ]
+    part_ref, supp_ref = ray.put(part), ray.put(supp)
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def join_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.merge(ray.get(part_ref), left_on="l_partkey", right_on="p_partkey")
+        df = df.merge(ray.get(supp_ref), left_on="l_suppkey", right_on="s_suppkey")
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return df.groupby(["p_brand", "n_name"], as_index=False).agg(
+            n_items=("revenue", "size"), revenue=("revenue", "sum")
+        )
+
+    out = (
+        ds.map_batches(join_partial, batch_format="pandas")
+        .groupby(["p_brand", "n_name"])
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue", alias_name="sum_revenue_e4"),
+        )
+    )
+    return out.map_batches(
+        lambda t: scale_int(t, {"sum_revenue_e4": 10_000}), batch_format="pyarrow"
+    )
+
+
 def value_histogram(sf_dir: str, width: float = 25.0):
     """Fixed-width histogram of event value (the profiling primitive for
     any numeric column at scale): each batch collapses to one partial
