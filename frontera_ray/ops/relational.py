@@ -340,6 +340,11 @@ def hash_shuffle_join(
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"column collision between join sides: {overlap}")
+    # the tag stage adds route/side/jkey; an input carrying one of those
+    # names would silently overwrite the tags and corrupt routing
+    reserved = {"route", "side", "jkey"} & (set(lschema.names) | set(rschema.names))
+    if reserved:
+        raise ValueError(f"input columns collide with reserved tag columns: {reserved}")
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
 

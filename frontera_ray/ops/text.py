@@ -154,12 +154,16 @@ def repetition_scores(sf_dir: str):
             nb = sum(bi.values())
             nt = sum(tri.values())
             n_bi.append(nb)
+            # float association must match the SQL mirror exactly:
+            # (mx * 1e6) / nb, NOT (mx / nb) * 1e6 — the two differ by
+            # one ulp for real inputs (e.g. mx=41, nb=640) and the
+            # floor(+0.5) export amplifies that to an off-by-one int
             top_bi.append(
-                int(np.floor(max(bi.values()) / nb * 1_000_000 + 0.5)) if nb else 0
+                int(np.floor(max(bi.values()) * 1_000_000.0 / nb + 0.5)) if nb else 0
             )
             dup = sum(c for c in tri.values() if c > 1)
             dup_tri.append(
-                int(np.floor(dup / nt * 1_000_000 + 0.5)) if nt else 0
+                int(np.floor(dup * 1_000_000.0 / nt + 0.5)) if nt else 0
             )
         return pa.table(
             {

@@ -29,8 +29,12 @@ _MANIFEST = "_SUCCESS.json"
 
 
 def _part_dir(out_dir: str, value) -> str:
+    # '_' is the escape prefix, so it must NOT be in the pass-through set:
+    # keeping it verbatim would map the distinct values 'a/b' and literal
+    # 'a_2fb' to the same directory (non-injective encoding → rows from
+    # two partitions silently mix in one dir). '_' itself encodes as '_5f'.
     s = str(value)
-    safe = "".join(c if c.isalnum() or c in "-_." else f"_{ord(c):02x}" for c in s)
+    safe = "".join(c if c.isalnum() or c in "-." else f"_{ord(c):02x}" for c in s)
     return os.path.join(out_dir, f"part-{safe}")
 
 
@@ -54,7 +58,7 @@ def write_partitioned(
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(t: pa.Table) -> pa.Table:
-        vals, counts = [], []
+        vals, counts, digests = [], [], []
         if t.num_rows:
             col = t[partition_col].to_numpy(zero_copy_only=False)
             order = np.argsort(col, kind="stable")
@@ -78,14 +82,23 @@ def write_partitioned(
                 pq.write_table(sub, os.path.join(d, f"batch-{digest}.parquet"))
                 vals.append(str(v))
                 counts.append(len(idx))
+                digests.append(digest)
         return pa.table(
             {
                 "value": pa.array(vals, pa.string()),
                 "rows": pa.array(counts, pa.int64()),
+                "digest": pa.array(digests, pa.string()),
             }
         )
 
     parts = ds.map_batches(write_batch, batch_format="pyarrow").to_pandas()
+    # Two different input blocks with byte-identical rows produce the same
+    # content-derived file name, so the second write overwrites the first:
+    # identical duplicate blocks are COLLAPSED on disk (documented
+    # behavior — the flip side of retry idempotence). Count unique
+    # (value, digest) so manifest['rows'] equals what is actually stored.
+    if len(parts):
+        parts = parts.drop_duplicates(["value", "digest"])
     agg = parts.groupby("value")["rows"].sum() if len(parts) else {}
     manifest = {
         "partitions": {str(k): int(v) for k, v in dict(agg).items()},

@@ -114,3 +114,41 @@ def test_labelprop_matches_union_find():
     uf = dedup.minhash_cluster_reps(SF)
     lp = dedup.cluster_reps_labelprop(SF)
     assert lp.equals(uf)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_scores_float_association_matches_oracle(tmp_path):
+    """ADVICE r3: floor(mx/nb*1e6+0.5) vs the oracle's floor(mx*1e6/nb+0.5)
+    diverge by 1 for real pairs (mx=41, nb=640 → 64062 vs 64063). Build a
+    doc that hits the divergent pair and check engine == DuckDB exactly."""
+    import duckdb
+    import pandas as pd
+
+    from frontera_ray.ops import text as text_ops
+    import __ray_entry__ as entrymod
+
+    # 42 repeated tokens -> the top bigram occurs 41 times; pad with
+    # unique fillers to reach exactly 641 tokens = 640 bigrams
+    toks = ["x"] * 42 + [f"f{i}" for i in range(599)]
+    assert len(toks) == 641
+    doc = " ".join(toks)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array([doc], pa.string()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(tbl, os.path.join(sf, "documents.parquet"))
+
+    eng = text_ops.repetition_scores(sf).to_pandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["repetition_scores"]).df()
+    assert int(eng["top_bigram_frac_e6"].iloc[0]) == 64063
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True)[want.columns.tolist()].astype("int64"),
+        want.astype("int64"),
+    )

@@ -85,3 +85,23 @@ def test_hash_shuffle_join_rejects_column_collision(ray_session):
     b = rd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     with pytest.raises(ValueError, match="collision"):
         hash_shuffle_join(a, b, "o_orderkey", "o_orderkey")
+
+
+def test_hash_shuffle_join_rejects_reserved_tag_columns(ray_session):
+    """ADVICE r3: an input side carrying route/side/jkey would silently
+    overwrite the internal tag columns and corrupt routing — reject it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from frontera_ray.ops.relational import hash_shuffle_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "route": pa.array([0, 1], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array([1, 2], pa.int64()), "v": pa.array([5, 6], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        hash_shuffle_join(left, right, "k", "rk")
+    with pytest.raises(ValueError, match="reserved"):
+        hash_shuffle_join(right, left, "rk", "k")

@@ -101,3 +101,51 @@ def test_weird_partition_values_are_sanitized(ray_session, out_dir):
         assert len(set(got["k"].to_pylist())) == 1
         total += got.num_rows
     assert total == 12
+
+
+def test_escape_is_injective(ray_session, out_dir):
+    """'a/b' escapes to 'a_2fb'; a LITERAL 'a_2fb' value must land in a
+    DIFFERENT directory ('_' is escaped as '_5f'), else two partitions
+    share one dir and the per-dir single-partition invariant breaks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from frontera_ray.sources.sink import write_partitioned
+
+    t = pa.table(
+        {
+            "k": pa.array(["a/b", "a_2fb", "_", "plain"] * 2, pa.string()),
+            "v": pa.array(list(range(8)), pa.int64()),
+        }
+    )
+    man = write_partitioned(rd.from_arrow(t), out_dir, "k")
+    assert man["rows"] == 8
+    part_dirs = [k for k in os.listdir(out_dir) if k.startswith("part-")]
+    assert len(part_dirs) == 4  # one dir per distinct value
+    for k in part_dirs:
+        got = pq.read_table(os.path.join(out_dir, k))
+        assert len(set(got["k"].to_pylist())) == 1
+
+
+def test_duplicate_identical_blocks_manifest_matches_disk(ray_session, out_dir):
+    """Byte-identical input blocks collapse to one content-named file;
+    the manifest must count the STORED rows, not the submitted rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from frontera_ray.sources.sink import write_partitioned
+
+    t = pa.table(
+        {
+            "k": pa.array(["x"] * 4, pa.string()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    # two single-block datasets with identical bytes, unioned: both blocks
+    # write the same batch-<digest>.parquet
+    ds = rd.from_arrow(t).union(rd.from_arrow(t))
+    man = write_partitioned(ds, out_dir, "k")
+    stored = pq.read_table(os.path.join(out_dir, "part-x")).num_rows
+    assert stored == 4  # collapsed on disk
+    assert man["rows"] == stored
+    assert man["partitions"] == {"x": stored}
