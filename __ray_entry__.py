@@ -196,17 +196,52 @@ def _sql_splitmix64(x: str) -> str:
     return f"xor({x3}, ({x3} >> 31))"
 
 
+def _fold_chain(k: int, prefix: str, start_filter: str) -> list[str]:
+    """CTE chain {prefix}0..{prefix}{k-1} running the engine's vectorized
+    k-token window fold (ops/dedup._fold_windows):
+      acc_0 = splitmix64(th[pos]); acc_j = splitmix64(acc ^ th[pos+j])
+    with missing positions (short-doc windows) skipped via LEFT JOIN.
+    Requires th(doc_id, pos, h) and nt(doc_id, n) to be in scope;
+    `start_filter` bounds the window start positions."""
+    ctes = [
+        f"{prefix}0 AS (SELECT th.doc_id, th.pos, {_sql_splitmix64('th.h')} AS acc "
+        f"FROM th JOIN nt USING (doc_id) WHERE th.pos <= {start_filter})"
+    ]
+    for j in range(1, k):
+        step = _sql_splitmix64("xor(p.acc, t.h)")
+        ctes.append(
+            f"{prefix}{j} AS (SELECT p.doc_id, p.pos, "
+            f"CASE WHEN t.h IS NULL THEN p.acc ELSE {step} END AS acc "
+            f"FROM {prefix}{j - 1} p LEFT JOIN th t "
+            f"ON t.doc_id = p.doc_id AND t.pos = p.pos + {j})"
+        )
+    return ctes
+
+
+_TOKEN_HASH_CTES = (
+    # per-token md5-derived uint64 with positions (engine:
+    # dedup._token_hash_concat — md5 once per distinct token there, same
+    # values here)
+    "tk AS (SELECT doc_id, unnest(ws) AS w, "
+    "unnest(range(1, len(ws) + 1)) AS pos FROM words), "
+    "th AS (SELECT doc_id, pos, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h "
+    "FROM tk), "
+    "nt AS (SELECT doc_id, max(pos) AS n FROM th GROUP BY doc_id)"
+)
+
+
 def _minhash_ctes() -> str:
-    """Shared CTE chain: word 5-gram shingles → 64-perm minhash signatures
-    → 16×4 LSH bands → capped buckets → candidate pairs → est_jaccard
-    (mirrors ops/dedup.py: _shingle_hashes/_minhash_sig/minhash_lsh_pairs)."""
+    """Shared CTE chain: token hashes → 5-window splitmix fold (shingle
+    hashes) → 64-perm minhash signatures → 16×4 LSH bands → capped
+    buckets → candidate pairs → est_jaccard (mirrors ops/dedup.py:
+    _token_hash_concat/_fold_windows/_minhash_sig/minhash_lsh_pairs;
+    round-4 fold rework, VERDICT r3 #5)."""
+    fold = ", ".join(_fold_chain(5, "f", "greatest(nt.n - 4, 1)"))
     return (
         "words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
-        "grams AS (SELECT doc_id, CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')] "
-        "ELSE list_transform(generate_series(1, len(ws)-4), i -> array_to_string(ws[i:i+4], ' ')) END AS gs "
-        "FROM words), "
-        "sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS s "
-        "FROM (SELECT doc_id, unnest(gs) AS g FROM grams)), "
+        f"{_TOKEN_HASH_CTES}, "
+        f"{fold}, "
+        "sh AS (SELECT DISTINCT doc_id, acc AS s FROM f4), "
         f"seeds AS (SELECT i, ((i::HUGEINT * {_G}) % {_M64})::UBIGINT AS seed "
         "FROM (SELECT unnest(generate_series(1, 64)) AS i)), "
         f"mh AS (SELECT doc_id, i, min({_sql_splitmix64('xor(s, seed)')}) AS mv "
@@ -232,11 +267,9 @@ _MINHASH_PAIRS_SQL = (
 _NGRAM_JACCARD_SQL = (
     f"WITH {_minhash_ctes()}, "
     "cand2 AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.2), "
-    "g3 AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
-    "ELSE list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')) END AS gs "
-    "FROM words), "
-    "s3 AS (SELECT doc_id, list(DISTINCT ('0x' || substr(md5(g), 1, 16))::UBIGINT) AS ss "
-    "FROM (SELECT doc_id, unnest(gs) AS g FROM g3) GROUP BY doc_id), "
+    # 3-gram shingle hashes via the same token fold (k=3, short fallback)
+    f"{', '.join(_fold_chain(3, 'g', 'greatest(nt.n - 2, 1)'))}, "
+    "s3 AS (SELECT doc_id, list(DISTINCT acc) AS ss FROM g2 GROUP BY doc_id), "
     "jac AS (SELECT doc_a, doc_b, "
     "len(list_intersect(a.ss, b.ss)) * 1.0 / "
     "(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS j "
@@ -554,17 +587,21 @@ def oracle_sql() -> dict[str, str]:
             "WHEN n_fr > 0 AND n_fr > n_de AND n_fr > n_en THEN 'fr' "
             "ELSE 'unk' END AS lang_pred FROM c"
         ),
-        # winnowing-style fingerprints: 4-token windows, md5-derived uint64,
-        # keep ≡ 0 (mod 8), count + min-hex (ops/text.doc_fingerprints)
+        # winnowing-style fingerprints: 4-token windows via the splitmix
+        # token fold (round-4; NO short-doc fallback — docs with < 4
+        # tokens have none), keep ≡ 0 (mod 8), count + min-hex
+        # (ops/text.doc_fingerprints)
         "doc_fingerprints": (
-            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-            "hs AS (SELECT doc_id, list_filter("
-            "list_transform(generate_series(1, len(toks) - 3), "
-            "i -> ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 16))::UBIGINT), "
-            "h -> h % 8 = 0) AS sel FROM t) "
-            "SELECT doc_id, len(sel)::BIGINT AS n_fingerprints, "
-            "CASE WHEN len(sel) > 0 THEN lpad(lower(hex(list_min(sel))), 16, '0') "
-            "ELSE '' END AS min_fingerprint FROM hs"
+            "WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+            f"{_TOKEN_HASH_CTES}, "
+            f"{', '.join(_fold_chain(4, 'w', 'nt.n - 3'))}, "
+            "sel AS (SELECT doc_id, acc FROM w3 WHERE acc % 8 = 0), "
+            "agg AS (SELECT doc_id, count(*) AS nf, min(acc) AS mn "
+            "FROM sel GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(agg.nf, 0) AS BIGINT) AS n_fingerprints, "
+            "CASE WHEN agg.mn IS NOT NULL THEN lpad(lower(hex(agg.mn)), 16, '0') "
+            "ELSE '' END AS min_fingerprint "
+            "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
         ),
         "asof_join": (
             "SELECT event_id, user_id, o_orderkey FROM ("

@@ -548,23 +548,30 @@ def contamination_check(sf_dir: str, n_bench: int = 5, n: int = 3):
 def doc_fingerprints(sf_dir: str, window: int = 4, keep_mod: int = 8):
     """Winnowing-style document fingerprints (Schleimer et al., SIGMOD 2003
     flavor, simplified): rolling hash over token windows, keep hashes ≡ 0
-    (mod keep_mod) → per-doc fingerprint count + min fingerprint (hex)."""
+    (mod keep_mod) → per-doc fingerprint count + min fingerprint (hex).
+
+    Round-4 (VERDICT r3 #5): the window hash is the shared vectorized
+    token-fold (dedup._fold_windows — distinct-token md5 once per batch,
+    k numpy fold passes), not per-window Python md5 of joined strings.
+    The SQL mirror runs the identical fold CTE chain. No short-doc
+    fallback window here: docs with < `window` tokens have none."""
+    from .dedup import _fold_windows, _token_hash_concat
+
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        th, counts = _token_hash_concat([x.split() for x in texts])
+        acc, m = _fold_windows(th, counts, window, short_fallback=False)
+        keep = acc % np.uint64(keep_mod) == 0
+        # per-doc segment reductions over the kept windows
+        starts = np.zeros(len(m), dtype=np.int64)
+        starts[1:] = np.cumsum(m)[:-1]
         n_out, min_out = [], []
-        for text in t["text"].to_pylist():
-            toks = text.split()
-            hs = [
-                int.from_bytes(
-                    hashlib.md5(" ".join(toks[i : i + window]).encode()).digest()[:8],
-                    "big",
-                )
-                for i in range(max(0, len(toks) - window + 1))
-            ]
-            sel = [h for h in hs if h % keep_mod == 0]
+        for d in range(len(texts)):
+            sel = acc[starts[d] : starts[d] + m[d]][keep[starts[d] : starts[d] + m[d]]]
             n_out.append(len(sel))
-            min_out.append(f"{min(sel):016x}" if sel else "")
+            min_out.append(f"{int(sel.min()):016x}" if len(sel) else "")
         return pa.table(
             {
                 "doc_id": t["doc_id"],

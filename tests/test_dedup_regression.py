@@ -22,8 +22,15 @@ def _expect(name: str) -> pa.Table:
 
 @pytest.mark.usefixtures("ray_session")
 def test_minhash_lsh_pairs_byte_identical():
+    """Snapshot regenerated in round 4: the shingle hash moved from
+    per-gram md5 of joined strings to the vectorized splitmix token fold
+    (VERDICT r3 #5), legitimately changing est_jaccard values. Ground
+    truth is the lock-stepped SQL oracle (test_sql_parity); this snapshot
+    pins byte-stability against future refactors."""
     got = dedup.minhash_lsh_pairs(SF)
-    assert got.equals(_expect("minhash_lsh_pairs"))
+    assert got.equals(
+        pq.read_table(os.path.join(DATA, "r4_minhash_lsh_pairs_sf001.parquet"))
+    )
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -35,17 +42,13 @@ def test_simhash_pairs_byte_identical_at_round1_params():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_ngram_jaccard_pairs_matches_round1():
-    """Same pairs as round 1; jaccard now exported as the repo-wide scaled
-    int (floor(j*1e6 + 0.5)) so the DuckDB oracle can hash-match it."""
-    import numpy as np
-
-    got = dedup.ngram_jaccard_pairs(SF).to_pandas()
-    exp = _expect("ngram_jaccard_pairs").to_pandas()
-    assert got["doc_a"].tolist() == exp["doc_a"].tolist()
-    assert got["doc_b"].tolist() == exp["doc_b"].tolist()
-    exp_e6 = np.floor(exp["jaccard"].to_numpy() * 1_000_000 + 0.5).astype(np.int64)
-    assert (got["jaccard_e6"].to_numpy() == exp_e6).all()
+def test_ngram_jaccard_pairs_byte_identical():
+    """Snapshot regenerated in round 4 (same fold rework as the minhash
+    snapshot above; oracle parity is the ground truth)."""
+    got = dedup.ngram_jaccard_pairs(SF)
+    assert got.equals(
+        pq.read_table(os.path.join(DATA, "r4_ngram_jaccard_pairs_sf001.parquet"))
+    )
 
 
 @pytest.mark.usefixtures("ray_session")
