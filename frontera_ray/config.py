@@ -67,6 +67,12 @@ class CrawlConfig:
     # contrib/backends/sqlalchemy/revisiting.py:~1-120 approx — re-queue
     # CRAWLED urls after an interval; epochs are our clock)
     revisit_after_epochs: int | None = None
+    # time-based revisit predicate (round-4, VERDICT r3 #7 — completes the
+    # revisiting.py interval semantics): layered on the epoch cycle, only
+    # rows whose page is STALE re-queue — age = corpus max(warc_ts) (the
+    # deterministic "now" of a static snapshot) minus the page's warc_ts;
+    # re-queue iff age >= revisit_min_age_us. None = age not consulted.
+    revisit_min_age_us: int | None = None
     batch_size: int = 8192              # map_batches batch size for wide stages
     # hot-host skew handling (SURVEY.md §4 / hard part 4): split each
     # scheduler partition into `schedule_salt` sub-groups keyed by

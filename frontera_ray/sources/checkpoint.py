@@ -99,6 +99,18 @@ class Checkpoint:
         pq.write_table(t, path)
         return self.rel(path)
 
+    def write_tombstones_part(self, epoch: int, partition: int, fps) -> str:
+        """One partition's new tombstoned fps for this epoch (round-4,
+        VERDICT r3 #6: tombstones live as per-partition FILES; the driver
+        holds only paths + counts, never a growing fp array). Returns the
+        ABSOLUTE path (state map holds abs; manifests store rel)."""
+        t = pa.table({"fp64": pa.array(fps, pa.uint64())})
+        path = os.path.join(
+            self.epoch_dir(epoch), f"tombstones-p{int(partition):05d}.parquet"
+        )
+        pq.write_table(t, path)
+        return path
+
     def load_tombstones(self, relpath: str):
         import numpy as np
 

@@ -151,6 +151,20 @@ def _schedule_partition_task(
     if not tables and extra is None:
         return pd.DataFrame()
     df = pa.concat_tables(tables).to_pandas() if tables else None
+    # tomb: either an in-memory fp array (tests / legacy checkpoints) or a
+    # list of this PARTITION's tombstone parquet paths, read task-side so
+    # the driver never holds fp arrays (round-4, VERDICT r3 #6)
+    if isinstance(tomb, list):
+        tomb = (
+            np.concatenate(
+                [
+                    pq.read_table(p)["fp64"].to_numpy(zero_copy_only=False)
+                    for p in tomb
+                ]
+            ).astype(np.uint64)
+            if tomb
+            else None
+        )
     if df is not None and tomb is not None and len(tomb) and len(df):
         df = df[~np.isin(df["fp64"].to_numpy(dtype=np.uint64), tomb)]
     # extra rows (revisits) join AFTER the tombstone filter — their fps are
@@ -165,29 +179,39 @@ def _schedule_partition_task(
 
 def schedule_files(
     part_files: dict[int, list[str]],
-    tomb: "np.ndarray | None",
+    tomb: "np.ndarray | dict[int, list[str]] | None",
     extra: "pa.Table | None",
     cfg: CrawlConfig,
     host_caps: dict | None = None,
 ) -> pd.DataFrame:
     """Schedule from the partition-pure queued file map (+ optional extra
     FRONTIER rows, e.g. revisits, routed to their partition here). Returns
-    the same frame as schedule() on the equivalent Dataset (tested)."""
+    the same frame as schedule() on the equivalent Dataset (tested).
+
+    `tomb` is either a per-partition map of tombstone parquet paths (the
+    crawl path — each task reads only its own partition's files) or one
+    fp array applied to every partition (tests / legacy checkpoints)."""
     extra_by_part: dict[int, pa.Table] = {}
     if extra is not None and extra.num_rows:
         parts = extra["partition"].to_numpy(zero_copy_only=False)
         for p in np.unique(parts):
             extra_by_part[int(p)] = extra.filter(pa.array(parts == p))
-    tomb_ref = ray.put(tomb) if tomb is not None and len(tomb) else None
+    tomb_map = tomb if isinstance(tomb, dict) else None
+    tomb_ref = (
+        ray.put(tomb)
+        if tomb_map is None and tomb is not None and len(tomb)
+        else None
+    )
     futs = []
     all_parts = sorted(set(part_files) | set(extra_by_part))
     for p in all_parts:
         paths = part_files.get(p, [])
         if not paths and p not in extra_by_part:
             continue
+        ptomb = tomb_map.get(p, []) if tomb_map is not None else tomb_ref
         futs.append(
             _schedule_partition_task.remote(
-                paths, tomb_ref, extra_by_part.get(p), cfg, host_caps
+                paths, ptomb, extra_by_part.get(p), cfg, host_caps
             )
         )
     frames = [f for f in ray.get(futs) if len(f)]
