@@ -85,6 +85,25 @@ BENCH_QUERIES = [
     "ann_bruteforce",
     "ann_lsh",
     "media_features",
+    # round-4 additions: every remaining driver-window operator gets a
+    # per-query record (totals are therefore not comparable to BENCH_r03's
+    # 35-query suite — compare per-query, as BASELINE.md does)
+    "quantiles",
+    "rollup_counts",
+    "anti_join",
+    "distinct_pairs",
+    "url_fingerprint",
+    "doc_fingerprints",
+    "minhash_cluster_reps",
+    "cluster_reps_labelprop",
+    "ngram_jaccard_pairs",
+    "ann_ivf",
+    "media_pipeline",
+    "hash_sample",
+    "stratified_sample",
+    "bottomk_sample",
+    "weighted_sample",
+    "window_hopping",
 ]
 
 
