@@ -116,3 +116,49 @@ def test_simhash_matches_reference(ray_session):
     ).to_pandas()
     for r in texts.head(50).itertuples():
         assert int(got.loc[r.doc_id], 16) == _simhash_reference(r.text)
+
+
+# ---- round-4: the vectorized k-window shingle fold --------------------
+
+def _naive_fold(toks_per_doc, k, short_fallback):
+    """Scalar reference of dedup._fold_windows: per window, fold
+    acc -> splitmix64(acc ^ th[pos]) over the k (or fewer) tokens."""
+    from frontera_ray.ops.dedup import _token_hash_concat
+
+    th, counts = _token_hash_concat(toks_per_doc)
+    out, m = [], []
+    start = 0
+    for n in counts:
+        if n >= k:
+            wins = n - k + 1
+        elif short_fallback:
+            wins = 1 if n > 0 else 0
+        else:
+            wins = max(n - k + 1, 0)
+        m.append(wins)
+        for i in range(wins):
+            acc = np.uint64(0)
+            for j in range(k):
+                if i + j < n:
+                    acc = splitmix64(np.array([acc ^ th[start + i + j]]))[0]
+            out.append(acc)
+        start += n
+    return np.array(out, np.uint64), np.array(m, np.int64)
+
+
+tokens = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=3), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs=st.lists(tokens, min_size=0, max_size=6), k=st.integers(2, 6),
+       fallback=st.booleans())
+def test_fold_windows_matches_scalar_reference(docs, k, fallback):
+    from frontera_ray.ops.dedup import _fold_windows, _token_hash_concat
+
+    th, counts = _token_hash_concat(docs)
+    acc, m = _fold_windows(th, counts, k, short_fallback=fallback)
+    ref_acc, ref_m = _naive_fold(docs, k, fallback)
+    assert (m == ref_m).all()
+    assert (acc == ref_acc).all()
