@@ -278,3 +278,38 @@ def test_distributed_seeds_with_politeness_actors(ray_session, fixture_dir, tmp_
     pd.testing.assert_frame_equal(o1, o2)
     assert np.array_equal(a1["seen"], a2["seen"])
     assert s1 == s2
+
+
+def test_schedule_files_tombstone_map_equals_array(ray_session, tmp_path):
+    """Round-4 (VERDICT r3 #6): per-partition tombstone FILES must
+    produce the identical schedule as the in-memory fp-array form (the
+    array applies globally; the map routes each partition its own file)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from frontera_ray.stages.schedule import schedule_files
+
+    t = _frontier_table()
+    cfg = CrawlConfig(
+        pages_paths=[], seeds_path="", checkpoint_dir=str(tmp_path),
+        num_partitions=4, policy="bfs", max_requests_per_host=3,
+        max_next_requests=20,
+    )
+    parts = t["partition"].to_numpy(zero_copy_only=False)
+    fps = t["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    tomb = fps[::17]
+    qmap, tmap = {}, {}
+    for p in np.unique(parts):
+        sub = t.filter(pa.array(parts == p))
+        f1 = str(tmp_path / f"q-{p}.parquet")
+        pq.write_table(sub, f1)
+        qmap[int(p)] = [f1]
+        # this partition's slice of the tombstone set, as a file
+        pfps = sub["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mine = pfps[np.isin(pfps, tomb)]
+        tf = str(tmp_path / f"t-{p}.parquet")
+        pq.write_table(pa.table({"fp64": pa.array(mine, pa.uint64())}), tf)
+        tmap[int(p)] = [tf]
+    via_array = schedule_files(qmap, tomb, None, cfg).reset_index(drop=True)
+    via_map = schedule_files(qmap, tmap, None, cfg).reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_map, via_array)
