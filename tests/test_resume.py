@@ -107,3 +107,39 @@ def test_incomplete_epoch_is_replayed(ray_session, fixture_dir, tmp_path):
     c2, s2 = run_crawl(_cfg(fixture_dir, ckdir, 4), resume=True)
     c1_full, _ = run_crawl(_cfg(fixture_dir, str(tmp_path / "ck_ref"), 4))
     assert _artifacts_tuple(c2) == _artifacts_tuple(c1_full)
+
+
+def test_frontier_state_holds_no_fp_arrays(ray_session, fixture_dir, tmp_path):
+    """Round-4 (VERDICT r3 #6 done-criterion): the state threaded between
+    epochs must contain only file paths and scalar counts — never a
+    growing fingerprint array on the driver. Run a multi-epoch crawl and
+    inspect the final state + every manifest."""
+    import json
+
+    from frontera_ray.pipelines.crawl import Crawler
+
+    cfg = _cfg(fixture_dir, str(tmp_path / "cknp"), 5)
+    crawler = Crawler(cfg)
+    crawler.run(resume=False)
+    latest = crawler.ck.latest_complete()
+    assert latest is not None and latest >= 1
+    st = crawler._frontier_state(latest)
+    assert set(st) == {"map", "tmap", "tcount", "queued"}
+
+    def only_paths_and_ints(obj):
+        if isinstance(obj, dict):
+            return all(only_paths_and_ints(v) for v in obj.values())
+        if isinstance(obj, list):
+            return all(isinstance(x, str) for x in obj)
+        return isinstance(obj, int)
+
+    assert only_paths_and_ints(st["map"])
+    assert only_paths_and_ints(st["tmap"])
+    assert only_paths_and_ints(st["tcount"])
+    assert isinstance(st["queued"], int)
+    assert not isinstance(st.get("tomb"), np.ndarray)  # old field gone
+    # manifests carry the map + counts form, never an fp list
+    for e in range(latest + 1):
+        m = crawler.ck.load_manifest(e)
+        assert "tombstones_file" not in m or m["tombstones_file"] is None
+        assert only_paths_and_ints(m.get("tombstones_map", {}))
