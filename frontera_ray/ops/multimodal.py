@@ -11,7 +11,6 @@ per-actor setup) is real and tested.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa

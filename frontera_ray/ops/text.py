@@ -10,7 +10,6 @@ single-spaced.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
