@@ -168,3 +168,17 @@ def test_graph_ops_invariant_to_route_count():
     assert dedup.cluster_reps_labelprop(SF, n_routes=4).equals(base_lp)
     base_pr = dedup.pagerank_pairs(SF)
     assert dedup.pagerank_pairs(SF, n_routes=3).equals(base_pr)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pair_table_computed_once_per_process():
+    """Round-4: the verified-pair TABLE is cached per (sf_dir, threshold,
+    cap) — clean_corpus / cluster_reps / repeat calls reuse it. The
+    Dataset-returning variant stays uncached (distributed consumers)."""
+    dedup._PAIRS_CACHE.clear()
+    a = dedup.minhash_lsh_pairs(SF)
+    b = dedup.minhash_lsh_pairs(SF)
+    assert a is b
+    c = dedup.minhash_lsh_pairs(SF, threshold=0.2)
+    assert c is not a
+    assert c is dedup.minhash_lsh_pairs(SF, threshold=0.2)
