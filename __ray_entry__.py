@@ -55,7 +55,7 @@ def _crawl_artifacts(sf_dir: str, policy: str = "bfs", max_epochs: int = 8):
 
 def entry() -> Any:
     """Flagship: BFS crawl over pages derived from sf0.001; returns the OUT
-    table (url, fp64, text, lang, n_links, fetched_epoch, partition)."""
+    table (url, fp64, text, lang, n_links, fetched_epoch)."""
     crawler = _crawl_artifacts("/root/testdata/sf0.001", "bfs", 8)
     return crawler.ck.read_all_out()
 
