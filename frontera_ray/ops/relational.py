@@ -503,10 +503,12 @@ def quantiles(sf_dir: str):
 def star_join_revenue(sf_dir: str):
     """Star join (TPC-H Q9 flavor): lineitem ⋈ part ⋈ supplier ⋈ nation →
     revenue per (brand, nation). BOTH dimension sides are broadcast once
-    via ray.put (classic star-schema shape: fact streams, dims are small
-    everywhere); each batch merges both dims and collapses to per-group
-    partials, so the final shuffle carries O(brands × nations × blocks)
-    rows."""
+    via ray.put as decoded dense-key lookup arrays (classic star-schema
+    shape: fact streams, dims are small everywhere); each batch gathers
+    both dims with np.take and collapses to per-group partials via
+    bincount. The driver merges only the partials —
+    O(brands × nations × blocks) scalar rows, never fact rows (round-4:
+    this replaced a second Dataset sort-shuffle, 10× at sf0.1)."""
     import ray
 
     part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
@@ -515,7 +517,19 @@ def star_join_revenue(sf_dir: str):
     supp = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")[
         ["s_suppkey", "n_name"]
     ]
-    part_ref, supp_ref = ray.put(part), ray.put(supp)
+    # round-4: broadcast DECODED lookup arrays instead of DataFrames —
+    # the per-batch "join" becomes two np.take gathers + one bincount per
+    # measure (dim keys are dense ints, the star-schema invariant). Per
+    # group, additions still run in fact-row order (bincount accumulates
+    # sequentially), the same order the per-batch pandas groupby summed.
+    brand_codes, brand_names = pd.factorize(part["p_brand"], sort=True)
+    brand_by_key = np.full(int(part["p_partkey"].max()) + 1, -1, np.int64)
+    brand_by_key[part["p_partkey"].to_numpy(np.int64)] = brand_codes
+    nat_codes, nat_names = pd.factorize(supp["n_name"], sort=True)
+    nat_by_key = np.full(int(supp["s_suppkey"].max()) + 1, -1, np.int64)
+    nat_by_key[supp["s_suppkey"].to_numpy(np.int64)] = nat_codes
+    nb, nn = len(brand_names), len(nat_names)
+    lk_ref = ray.put((brand_by_key, nat_by_key, list(brand_names), list(nat_names)))
 
     ds = rd.read_parquet(
         _t(sf_dir, "lineitem"),
@@ -523,24 +537,39 @@ def star_join_revenue(sf_dir: str):
     )
 
     def join_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.merge(ray.get(part_ref), left_on="l_partkey", right_on="p_partkey")
-        df = df.merge(ray.get(supp_ref), left_on="l_suppkey", right_on="s_suppkey")
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        return df.groupby(["p_brand", "n_name"], as_index=False).agg(
-            n_items=("revenue", "size"), revenue=("revenue", "sum")
+        b_by_key, n_by_key, b_names, n_names = ray.get(lk_ref)
+        bc = b_by_key[df["l_partkey"].to_numpy(np.int64)]
+        nc = n_by_key[df["l_suppkey"].to_numpy(np.int64)]
+        keep = (bc >= 0) & (nc >= 0)  # inner-join semantics
+        bc, nc = bc[keep], nc[keep]
+        revenue = (
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - df["l_discount"].to_numpy(np.float64))
+        )[keep]
+        cell = bc * nn + nc
+        cnt = np.bincount(cell, minlength=nb * nn)
+        rev = np.bincount(cell, weights=revenue, minlength=nb * nn)
+        present = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {
+                "p_brand": [b_names[i // nn] for i in present],
+                "n_name": [n_names[i % nn] for i in present],
+                "n_items": cnt[present].astype(np.int64),
+                "revenue": rev[present],
+            }
         )
 
-    out = (
-        ds.map_batches(join_partial, batch_format="pandas")
-        .groupby(["p_brand", "n_name"])
-        .aggregate(
-            Sum("n_items", alias_name="n_items"),
-            Sum("revenue", alias_name="sum_revenue_e4"),
-        )
+    # partials are bounded (≤ brands × nations rows per block), so a tiny
+    # driver-side merge beats a second Dataset sort-shuffle outright (the
+    # PLAN_r3 gotcha: a row-level groupby().aggregate() fed by many small
+    # blocks pays ~1 s/task of shuffle machinery regardless of row count)
+    partials = ds.map_batches(join_partial, batch_format="pandas").to_pandas()
+    agg = partials.groupby(["p_brand", "n_name"], as_index=False).agg(
+        n_items=("n_items", "sum"), sum_revenue_e4=("revenue", "sum")
     )
-    return out.map_batches(
-        lambda t: scale_int(t, {"sum_revenue_e4": 10_000}), batch_format="pyarrow"
-    )
+    agg = agg.sort_values(["p_brand", "n_name"], kind="mergesort").reset_index(drop=True)
+    t = pa.Table.from_pandas(agg, preserve_index=False)
+    return scale_int(t, {"sum_revenue_e4": 10_000})
 
 
 def value_histogram(sf_dir: str, width: float = 25.0):
