@@ -458,11 +458,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag, l_linestatus"
         ),
         "distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
-        # large×large co-partitioned hash join (no broadcast side)
+        # large×large co-partitioned hash join (no broadcast side).
+        # Round-4: per-ROW floor to integer e4 units before the SUM —
+        # both engines add identical int64s, so the value is
+        # order-independent and exact at every scale (sum-then-floor
+        # flipped a ulp at sf0.1)
         "shuffle_join": (
             "SELECT o_orderpriority, count(*) AS n_items, "
-            "CAST(floor(sum(l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT) "
-            "AS sum_revenue_e4 "
+            "sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) "
+            "AS BIGINT))::BIGINT AS sum_revenue_e4 "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
@@ -877,11 +881,12 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rk "
             "FROM s WHERE score_e6 > 0 ORDER BY score_e6 DESC, doc_id LIMIT 10"
         ),
-        # star join: fact streams, both dims broadcast (TPC-H Q9 flavor)
+        # star join: fact streams, both dims broadcast (TPC-H Q9 flavor).
+        # Same round-4 integer-exact export as shuffle_join
         "star_join_revenue": (
             "SELECT p.p_brand, n.n_name, CAST(count(*) AS BIGINT) AS n_items, "
-            "CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 10000 "
-            "+ 0.5) AS BIGINT) AS sum_revenue_e4 "
+            "sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000 "
+            "+ 0.5) AS BIGINT))::BIGINT AS sum_revenue_e4 "
             "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
             "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
             "JOIN nation n ON s.s_nationkey = n.n_nationkey "

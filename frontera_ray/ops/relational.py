@@ -396,12 +396,18 @@ def shuffle_join(sf_dir: str):
     )
 
     def rev(t: pa.Table) -> pa.Table:
+        # per-ROW floor to integer e4 units BEFORE any sum (round-4): the
+        # engines then add identical int64s in any order — the old
+        # sum-then-floor export flipped a ulp at sf0.1 volumes. The per-row
+        # product is one identical IEEE multiply on both sides.
+        r = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        e4 = np.floor(r * 10_000 + 0.5).astype(np.int64)
         return pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
-                "revenue": pc.multiply(
-                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-                ),
+                "revenue_e4": pa.array(e4, pa.int64()),
             }
         )
 
@@ -416,21 +422,19 @@ def shuffle_join(sf_dir: str):
     # measured: the row-level Aggregate here burned 140+ s of remote time
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("o_orderpriority", as_index=False).agg(
-            n_items=("revenue", "size"), revenue=("revenue", "sum")
+            n_items=("revenue_e4", "size"), revenue_e4=("revenue_e4", "sum")
         )
         return g
 
-    out = (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby("o_orderpriority")
-        .aggregate(
-            Sum("n_items", alias_name="n_items"),
-            Sum("revenue", alias_name="sum_revenue_e4"),
-        )
+    # ≤5 partial rows per block → a driver merge of the tiny frames beats
+    # a second Dataset sort-shuffle (round-4, same move as star_join)
+    partials = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = partials.groupby("o_orderpriority", as_index=False).agg(
+        n_items=("n_items", "sum"), sum_revenue_e4=("revenue_e4", "sum")
     )
-    return out.map_batches(
-        lambda t: scale_int(t, {"sum_revenue_e4": 10_000}), batch_format="pyarrow"
-    )
+    agg = agg.sort_values("o_orderpriority", kind="mergesort").reset_index(drop=True)
+    agg = agg.astype({"n_items": np.int64, "sum_revenue_e4": np.int64})
+    return pa.Table.from_pandas(agg, preserve_index=False)
 
 
 # ---------------------------------------------------------------- round 2 --
@@ -542,20 +546,27 @@ def star_join_revenue(sf_dir: str):
         nc = n_by_key[df["l_suppkey"].to_numpy(np.int64)]
         keep = (bc >= 0) & (nc >= 0)  # inner-join semantics
         bc, nc = bc[keep], nc[keep]
-        revenue = (
+        # per-ROW floor to integer e4 units BEFORE summing (round-4):
+        # engines add identical int64s in any order — order-independent,
+        # exact at every scale (the sum-then-floor export is ulp-fragile)
+        r = (
             df["l_extendedprice"].to_numpy(np.float64)
             * (1.0 - df["l_discount"].to_numpy(np.float64))
         )[keep]
+        rev_e4 = np.floor(r * 10_000 + 0.5)
         cell = bc * nn + nc
         cnt = np.bincount(cell, minlength=nb * nn)
-        rev = np.bincount(cell, weights=revenue, minlength=nb * nn)
+        # bincount weights sum in float64; integer-valued weights stay
+        # exact while rows_per_block × max_rev_e4 < 2^53 (real block
+        # sizes are orders of magnitude inside that envelope)
+        rev = np.bincount(cell, weights=rev_e4, minlength=nb * nn)
         present = np.flatnonzero(cnt)
         return pd.DataFrame(
             {
                 "p_brand": [b_names[i // nn] for i in present],
                 "n_name": [n_names[i % nn] for i in present],
                 "n_items": cnt[present].astype(np.int64),
-                "revenue": rev[present],
+                "revenue_e4": rev[present].astype(np.int64),
             }
         )
 
@@ -565,11 +576,11 @@ def star_join_revenue(sf_dir: str):
     # blocks pays ~1 s/task of shuffle machinery regardless of row count)
     partials = ds.map_batches(join_partial, batch_format="pandas").to_pandas()
     agg = partials.groupby(["p_brand", "n_name"], as_index=False).agg(
-        n_items=("n_items", "sum"), sum_revenue_e4=("revenue", "sum")
+        n_items=("n_items", "sum"), sum_revenue_e4=("revenue_e4", "sum")
     )
     agg = agg.sort_values(["p_brand", "n_name"], kind="mergesort").reset_index(drop=True)
-    t = pa.Table.from_pandas(agg, preserve_index=False)
-    return scale_int(t, {"sum_revenue_e4": 10_000})
+    agg = agg.astype({"n_items": np.int64, "sum_revenue_e4": np.int64})
+    return pa.Table.from_pandas(agg, preserve_index=False)
 
 
 def value_histogram(sf_dir: str, width: float = 25.0):
