@@ -430,10 +430,16 @@ _SIMHASH_SIG_SQL = (
 def oracle_sql() -> dict[str, str]:
     stop_list = "('the','a','to','of','and')"
     d = {
+        # round-4 exact-export rule for every summed float: per-ROW floor
+        # to scaled ints, THEN integer sums — order-independent on both
+        # engines at any scale/block layout (sum-then-floor sat one ulp
+        # from a rounding boundary; observed flipping at sf0.1). Averages
+        # are floor(int_sum * 1.0 / count + 0.5).
         "groupby_agg": (
             "SELECT event_type, count(*) AS n, "
-            "CAST(floor(sum(value)*10000 + 0.5) AS BIGINT) AS sum_value_e4, "
-            "CAST(floor(avg(value)*10000 + 0.5) AS BIGINT) AS avg_value_e4 "
+            "sum(CAST(floor(value*10000 + 0.5) AS BIGINT))::BIGINT AS sum_value_e4, "
+            "CAST(floor(sum(CAST(floor(value*10000 + 0.5) AS BIGINT)) * 1.0 "
+            "/ count(*) + 0.5) AS BIGINT) AS avg_value_e4 "
             "FROM events GROUP BY event_type"
         ),
         "filter_topk": (
@@ -443,17 +449,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hash_join_agg": (
             "SELECT n_name, count(*) AS n_orders, "
-            "CAST(floor(sum(o_totalprice)*100 + 0.5) AS BIGINT) AS sum_total_cents "
+            "sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))::BIGINT "
+            "AS sum_total_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS sum_qty, "
-            "CAST(floor(sum(l_extendedprice)*100 + 0.5) AS BIGINT) AS sum_base_price_cents, "
-            "CAST(floor(sum(l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT) AS sum_disc_price_e4, "
-            "CAST(floor(avg(l_discount)*1000000 + 0.5) AS BIGINT) AS avg_disc_e6, "
-            "count(*) AS count_order "
+            "sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS sum_qty, "
+            "sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))::BIGINT "
+            "AS sum_base_price_cents, "
+            "sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) "
+            "AS BIGINT))::BIGINT AS sum_disc_price_e4, "
+            "count(*) AS count_order, "
+            "CAST(floor(sum(CAST(floor(l_discount*1000000 + 0.5) AS BIGINT)) * 1.0 "
+            "/ count(*) + 0.5) AS BIGINT) AS avg_disc_e6 "
             "FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-09-01' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
@@ -487,14 +497,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "window_tumbling": (
             "SELECT user_id, date_trunc('hour', ts) AS window_start, count(*) AS n, "
-            "CAST(floor(sum(value)*10000 + 0.5) AS BIGINT) AS sum_value_e4 "
+            "sum(CAST(floor(value*10000 + 0.5) AS BIGINT))::BIGINT AS sum_value_e4 "
             "FROM events GROUP BY 1, 2"
         ),
         "window_hopping": (
             "SELECT user_id, "
             "make_timestamp(((epoch_us(ts) // 1800000000) - j) * 1800000000) AS window_start, "
             "count(*) AS n, "
-            "CAST(floor(sum(value)*10000 + 0.5) AS BIGINT) AS sum_value_e4 "
+            "sum(CAST(floor(value*10000 + 0.5) AS BIGINT))::BIGINT AS sum_value_e4 "
             "FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j) "
             "GROUP BY user_id, window_start"
         ),
@@ -506,7 +516,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "semi_join": (
             "SELECT event_type, count(*) AS n, "
-            "CAST(floor(sum(value)*10000 + 0.5) AS BIGINT) AS sum_value_e4 "
+            "sum(CAST(floor(value*10000 + 0.5) AS BIGINT))::BIGINT AS sum_value_e4 "
             "FROM events WHERE user_id IN "
             "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000) "
             "GROUP BY event_type"

@@ -38,19 +38,53 @@ def scale_int(t: pa.Table, cols: dict[str, int]) -> pa.Table:
     return t
 
 
+def row_scaled_int(arr, scale: int) -> pa.Array:
+    """Per-ROW floor(x*scale + 0.5) as int64 (round-4 integer-exact export
+    discipline): summing engines then add identical int64s, so the result
+    is order-independent at any scale and block layout — unlike
+    sum-then-floor, which sits one ulp from a rounding boundary (observed
+    flipping at sf0.1 volumes). SQL mirror:
+    sum(CAST(floor(x*scale + 0.5) AS BIGINT))."""
+    x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.array(np.floor(x * scale + 0.5).astype(np.int64), pa.int64())
+
+
+def _int_avg(t: pa.Table, sum_col: str, n_col: str, out_col: str) -> pa.Table:
+    """floor(int_sum / n + 0.5) — deterministic IEEE division of two exact
+    ints; mirrors SQL floor(sum(...) * 1.0 / count(*) + 0.5)."""
+    s = t[sum_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = t[n_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    v = np.floor(s * 1.0 / n + 0.5).astype(np.int64)
+    idx = t.schema.get_field_index(sum_col)
+    t = t.remove_column(idx)
+    return t.append_column(out_col, pa.array(v, pa.int64()))
+
+
 def groupby_agg(sf_dir: str):
     """Per-event-type counters (A1 stats-counter pattern: one small shuffle
-    after Arrow-native partial aggregation inside Ray's groupby)."""
+    after Arrow-native partial aggregation inside Ray's groupby). Exports
+    are integer-exact: per-row e4 ints summed, avg = floor(sum/n + 0.5)."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
-    out = ds.groupby("event_type").aggregate(
-        Count(alias_name="n"),
-        Sum("value", alias_name="sum_value_e4"),
-        Mean("value", alias_name="avg_value_e4"),
-    )
-    return out.map_batches(
-        lambda t: scale_int(t, {"sum_value_e4": 10_000, "avg_value_e4": 10_000}),
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "value_e4": row_scaled_int(t["value"], 10_000)}
+        ),
         batch_format="pyarrow",
     )
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value_e4", alias_name="sum_value_e4"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = np.floor(
+            t["sum_value_e4"].to_numpy(zero_copy_only=False).astype(np.float64)
+            / t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            + 0.5
+        ).astype(np.int64)
+        return t.append_column("avg_value_e4", pa.array(avg, pa.int64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def filter_topk(sf_dir: str):
@@ -103,23 +137,24 @@ def hash_join_agg(sf_dir: str, broadcast_limit: int | None = None):
         joined = ds.map_batches(join, batch_format="pandas")
 
     # combiner: ≤25 partial rows per block into the final groupby (the
-    # row-level Aggregate pays ~1 s/task of shuffle overhead otherwise)
+    # row-level Aggregate pays ~1 s/task of shuffle overhead otherwise).
+    # Per-row floor to integer cents first (round-4 exact-export rule).
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("n_name", as_index=False).agg(
-            n_orders=("o_totalprice", "size"),
-            o_totalprice=("o_totalprice", "sum"),
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        out = pd.DataFrame({"n_name": df["n_name"], "cents": cents})
+        return out.groupby("n_name", as_index=False).agg(
+            n_orders=("cents", "size"), cents=("cents", "sum")
         )
 
-    out = (
+    return (
         joined.map_batches(partial, batch_format="pandas")
         .groupby("n_name")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="sum_total_cents"),
+            Sum("cents", alias_name="sum_total_cents"),
         )
-    )
-    return out.map_batches(
-        lambda t: scale_int(t, {"sum_total_cents": 100}), batch_format="pyarrow"
     )
 
 
@@ -139,37 +174,32 @@ def pricing_summary(sf_dir: str):
     )
 
     def prep(t: pa.Table) -> pa.Table:
+        # per-ROW integer exports (round-4 exact-export rule): engines
+        # then sum identical int64s in any order
         t = t.filter(pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1997-09-01", "us"))))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "l_quantity": t["l_quantity"],
-                "l_extendedprice": t["l_extendedprice"],
-                "revenue": rev,
-                "l_discount": t["l_discount"],
+                "qty_i": row_scaled_int(t["l_quantity"], 1),
+                "cents": row_scaled_int(t["l_extendedprice"], 100),
+                "rev_e4": row_scaled_int(rev, 10_000),
+                "disc_e6": row_scaled_int(t["l_discount"], 1_000_000),
             }
         )
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
     out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price_cents"),
-        Sum("revenue", alias_name="sum_disc_price_e4"),
-        Mean("l_discount", alias_name="avg_disc_e6"),
+        Sum("qty_i", alias_name="sum_qty"),
+        Sum("cents", alias_name="sum_base_price_cents"),
+        Sum("rev_e4", alias_name="sum_disc_price_e4"),
+        Sum("disc_e6", alias_name="disc_e6_sum"),
         Count(alias_name="count_order"),
     )
+    # avg of the e6-rounded discounts: floor(int_sum / n + 0.5)
     return out.map_batches(
-        lambda t: scale_int(
-            t,
-            {
-                "sum_qty": 1,
-                "sum_base_price_cents": 100,
-                "sum_disc_price_e4": 10_000,
-                "avg_disc_e6": 1_000_000,
-            },
-        ),
+        lambda t: _int_avg(t, "disc_e6_sum", "count_order", "avg_disc_e6"),
         batch_format="pyarrow",
     )
 
@@ -189,24 +219,30 @@ def window_tumbling(sf_dir: str):
 
     def bucket(t: pa.Table) -> pa.Table:
         # cast back to us: floor_temporal narrows the unit, and the oracle
-        # (DuckDB date_trunc) stays timestamp[us]
+        # (DuckDB date_trunc) stays timestamp[us]; value exported as
+        # per-row e4 ints (round-4 exact-export rule)
         ws = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us"))
-        return pa.table({"user_id": t["user_id"], "window_start": ws, "value": t["value"]})
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": ws,
+                "value_e4": row_scaled_int(t["value"], 10_000),
+            }
+        )
 
     ds = ds.map_batches(bucket, batch_format="pyarrow")
     out = ds.groupby(["user_id", "window_start"]).aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value_e4")
+        Count(alias_name="n"), Sum("value_e4", alias_name="sum_value_e4")
     )
 
     def finish(t: pa.Table) -> pa.Table:
         # Ray's aggregate narrows the key to timestamp[s]; restore [us] to
         # match the oracle's date_trunc output type
-        t = t.set_column(
+        return t.set_column(
             t.schema.get_field_index("window_start"),
             "window_start",
             pc.cast(t["window_start"], pa.timestamp("us")),
         )
-        return scale_int(t, {"sum_value_e4": 10_000})
 
     return out.map_batches(finish, batch_format="pyarrow")
 
@@ -240,14 +276,18 @@ def semi_join(sf_dir: str):
 
     def keep(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(uid, ray.get(keys_ref))))
+        sub = t.filter(pa.array(np.isin(uid, ray.get(keys_ref))))
+        # per-row e4 ints (round-4 exact-export rule)
+        return pa.table(
+            {
+                "event_type": sub["event_type"],
+                "value_e4": row_scaled_int(sub["value"], 10_000),
+            }
+        )
 
     ds = ds.map_batches(keep, batch_format="pyarrow")
-    out = ds.groupby("event_type").aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value_e4")
-    )
-    return out.map_batches(
-        lambda t: scale_int(t, {"sum_value_e4": 10_000}), batch_format="pyarrow"
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value_e4", alias_name="sum_value_e4")
     )
 
 
@@ -644,7 +684,8 @@ def window_hopping(sf_dir: str, size_min: int = 60, hop_min: int = 30):
         ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         base = (ts // hop_us) * hop_us  # latest window start containing ts
         uid = t["user_id"].to_numpy(zero_copy_only=False)
-        val = t["value"].to_numpy(zero_copy_only=False)
+        # per-row e4 ints (round-4 exact-export rule)
+        val = row_scaled_int(t["value"], 10_000).to_numpy(zero_copy_only=False)
         starts, uids, vals = [], [], []
         for j in range(n_win):
             starts.append(base - j * hop_us)
@@ -656,22 +697,21 @@ def window_hopping(sf_dir: str, size_min: int = 60, hop_min: int = 30):
                 "window_start": pa.array(
                     np.concatenate(starts).astype("datetime64[us]"), pa.timestamp("us")
                 ),
-                "value": pa.array(np.concatenate(vals)),
+                "value_e4": pa.array(np.concatenate(vals), pa.int64()),
             }
         )
 
     out = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby(["user_id", "window_start"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value_e4"))
+        .aggregate(Count(alias_name="n"), Sum("value_e4", alias_name="sum_value_e4"))
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        t = t.set_column(
+        return t.set_column(
             t.schema.get_field_index("window_start"),
             "window_start",
             pc.cast(t["window_start"], pa.timestamp("us")),
         )
-        return scale_int(t, {"sum_value_e4": 10_000})
 
     return out.map_batches(finish, batch_format="pyarrow")
