@@ -163,6 +163,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_stats": ann.embedding_stats,
         "window_hopping": relational.window_hopping,
+        # round-4 additions — the window is saturated with 50 oracled
+        # entries, so these are oracled-but-pytest-checked (see the
+        # ordering contract above)
+        "ntile_quartiles": relational.ntile_quartiles,
+        "event_transitions": relational.event_transitions,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -901,6 +906,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
             "JOIN nation n ON s.s_nationkey = n.n_nationkey "
             "GROUP BY p.p_brand, n.n_name"
+        ),
+        # ntile() window function: quartile within event_type by the
+        # (value, event_id) total order — integer output, exact
+        "ntile_quartiles": (
+            "SELECT event_id, event_type, "
+            "CAST(ntile(4) OVER (PARTITION BY event_type "
+            "ORDER BY value, event_id) AS BIGINT) AS quartile FROM events"
+        ),
+        # per-user event-type transition counts (Markov matrix): lag()
+        # over the same total order; integer counts, exact
+        "event_transitions": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS from_type, event_type AS to_type, "
+            "count(*)::BIGINT AS n FROM o WHERE prev IS NOT NULL "
+            "GROUP BY 1, 2"
         ),
         # fixed-width value histogram (bin = floor(value/25))
         "value_histogram": (

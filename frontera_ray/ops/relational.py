@@ -623,6 +623,77 @@ def star_join_revenue(sf_dir: str):
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
+def ntile_quartiles(sf_dir: str, n_tiles: int = 4):
+    """SQL ntile() window function (round-4): assign each event its
+    quartile within its event_type by (value, event_id) total order.
+    Standard ntile sizing — the first (n mod k) tiles get the extra row.
+    Distributed shape: groupby(event_type).map_groups with a vectorized
+    rank inside — group cardinality = event-type cardinality (bounded);
+    a high-cardinality partition key would use the route-group pattern
+    instead. Integer output → exact vs the DuckDB ntile() oracle."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    k = n_tiles
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], kind="mergesort")
+        n = len(g)
+        base, rem = divmod(n, k)
+        sizes = np.full(min(k, n), base, dtype=np.int64)
+        sizes[:rem] += 1
+        sizes = sizes[sizes > 0]
+        tile = np.repeat(np.arange(1, len(sizes) + 1, dtype=np.int64), sizes)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "event_type": g["event_type"].to_numpy(),
+                "quartile": tile,
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(tiles, batch_format="pandas")
+
+
+def event_transitions(sf_dir: str, n_routes: int = 64):
+    """Per-user event-type transition counts (the Markov-matrix primitive
+    of behavioral analytics): for each user's (ts, event_id)-ordered
+    stream, count (from_type → to_type) adjacencies. Distributed shape:
+    route = user_id % n_routes (bounded map_groups cardinality — all of a
+    user's events share a route), one vectorized shift-compare per group,
+    per-group partial counts; the ≤ types² × n_routes partial rows merge
+    on the driver (the bounded-partials gotcha). Counts are integers —
+    exact vs the lag()-window oracle."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "route", pa.array(uid % np.int64(n_routes), pa.int64())
+        )
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+        return out.groupby(["from_type", "to_type"], as_index=False).size()
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(trans, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ types² rows per route group
+    )
+    agg = partials.groupby(["from_type", "to_type"], as_index=False)["size"].sum()
+    agg = agg.rename(columns={"size": "n"}).astype({"n": np.int64})
+    agg = agg.sort_values(["from_type", "to_type"], kind="mergesort").reset_index(drop=True)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
 def value_histogram(sf_dir: str, width: float = 25.0):
     """Fixed-width histogram of event value (the profiling primitive for
     any numeric column at scale): each batch collapses to one partial
