@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordering contract above)
         "ntile_quartiles": relational.ntile_quartiles,
         "event_transitions": relational.event_transitions,
+        "running_totals": relational.running_totals,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -923,6 +924,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT prev AS from_type, event_type AS to_type, "
             "count(*)::BIGINT AS n FROM o WHERE prev IS NOT NULL "
             "GROUP BY 1, 2"
+        ),
+        # per-user running totals: SUM() OVER the (ts, event_id) total
+        # order; per-row e4 ints so every prefix sum is integer-exact
+        "running_totals": (
+            "SELECT event_id, user_id, "
+            "sum(CAST(floor(value*10000 + 0.5) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT "
+            "AS cum_value_e4 FROM events"
         ),
         # fixed-width value histogram (bin = floor(value/25))
         "value_histogram": (

@@ -694,6 +694,47 @@ def event_transitions(sf_dir: str, n_routes: int = 64):
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
+def running_totals(sf_dir: str, n_routes: int = 64):
+    """Per-user running value totals in event-time order (the cumulative
+    window-function primitive). Distributed shape: route = user_id %
+    n_routes bucketed groups, ONE vectorized pandas cumsum per group
+    (users never split across routes). Values are per-row e4 ints
+    (round-4 exact-export rule) so every prefix sum is integer-exact vs
+    the SUM() OVER window oracle."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "route": pa.array(uid % np.int64(n_routes), pa.int64()),
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "value_e4": row_scaled_int(t["value"], 10_000),
+            }
+        )
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        c = g.groupby("user_id")["value_e4"].cumsum().to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "cum_value_e4": c,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(cum, batch_format="pandas")
+    )
+
+
 def value_histogram(sf_dir: str, width: float = 25.0):
     """Fixed-width histogram of event value (the profiling primitive for
     any numeric column at scale): each batch collapses to one partial
