@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_quartiles": relational.ntile_quartiles,
         "event_transitions": relational.event_transitions,
         "running_totals": relational.running_totals,
+        "domain_stats": text.domain_stats,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -933,6 +934,16 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT "
             "AS cum_value_e4 FROM events"
+        ),
+        # per-source corpus profile: doc count, exact-distinct texts,
+        # token mass — all integer counts/sums, exact
+        "domain_stats": (
+            "WITH g AS (SELECT source, text, count(*) AS c, "
+            "min(len(string_split(text, ' '))) AS tok "
+            "FROM documents GROUP BY source, text) "
+            "SELECT source, sum(c)::BIGINT AS n_docs, "
+            "count(*)::BIGINT AS n_distinct, "
+            "sum(c * tok)::BIGINT AS sum_tokens FROM g GROUP BY source"
         ),
         # fixed-width value histogram (bin = floor(value/25))
         "value_histogram": (

@@ -580,3 +580,55 @@ def doc_fingerprints(sf_dir: str, window: int = 4, keep_mod: int = 8):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def domain_stats(sf_dir: str):
+    """Per-source corpus profile (the per-domain quality table of a
+    training-data pipeline): document count, distinct-text count (exact
+    dedup within the source) and total token mass. Shape: one shuffle on
+    (source, content-hash) — polars two-seed xxhash, the exact_dedup key
+    (the oracle groups by raw text, so the hash choice is free) — then
+    bounded per-block source partials merged on the driver. Every value
+    is an integer count/sum: exact vs the oracle at any scale."""
+    import polars as pl
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(
+            pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.int64()
+        )
+        s = pl.from_arrow(t["text"])
+        return pa.table(
+            {
+                "source": t["source"],
+                "h1": pa.array(s.hash(seed=1).to_numpy(), pa.uint64()),
+                "h2": pa.array(s.hash(seed=2).to_numpy(), pa.uint64()),
+                "n_tokens": n_tokens,
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    grouped = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["source", "h1", "h2"])
+        .aggregate(Count(alias_name="c"), Min("n_tokens", alias_name="tok"))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(toks=df["c"].to_numpy(np.int64) * df["tok"].to_numpy(np.int64))
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("c", "sum"), n_distinct=("c", "size"), sum_tokens=("toks", "sum")
+        )
+
+    # bounded: ≤ |sources| rows per block → tiny driver merge
+    partials = grouped.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = partials.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        n_distinct=("n_distinct", "sum"),
+        sum_tokens=("sum_tokens", "sum"),
+    )
+    agg = agg.sort_values("source", kind="mergesort").reset_index(drop=True)
+    agg = agg.astype({"n_docs": np.int64, "n_distinct": np.int64, "sum_tokens": np.int64})
+    return pa.Table.from_pandas(agg, preserve_index=False)
