@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": relational.event_transitions,
         "running_totals": relational.running_totals,
         "domain_stats": text.domain_stats,
+        "cluster_size_histogram": dedup.cluster_size_histogram,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -979,4 +980,11 @@ def oracle_sql() -> dict[str, str]:
     # distributed label propagation computes the same components as the
     # driver union-find — one oracle, two engine paths
     d["cluster_reps_labelprop"] = d["minhash_cluster_reps"]
+    # near-dup cluster size distribution, layered on the components CTE
+    d["cluster_size_histogram"] = (
+        f"WITH r AS ({d['minhash_cluster_reps']}), "
+        "s AS (SELECT rep_id, count(*) AS cluster_size FROM r GROUP BY rep_id) "
+        "SELECT cluster_size::BIGINT AS cluster_size, "
+        "count(*)::BIGINT AS n_clusters FROM s GROUP BY cluster_size"
+    )
     return d

@@ -801,6 +801,32 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 7, bucket_cap: int | None = No
 
 
 # ------------------------------------------------------- dup clustering ----
+def cluster_size_histogram(sf_dir: str, threshold: float = 0.5):
+    """Near-dup cluster size distribution (the dedup-health diagnostic:
+    how much of the corpus collapses, and into how big clusters):
+    (cluster_size, n_clusters) over the connected components of the LSH
+    pair graph. Runs on `minhash_cluster_reps`' bounded rep table (the
+    cached verified-pair set — O(pairs), the documented envelope);
+    integer counts → exact vs the recursive-CTE oracle."""
+    reps = minhash_cluster_reps(sf_dir, threshold)
+    if reps.num_rows == 0:
+        return pa.table(
+            {
+                "cluster_size": pa.array([], pa.int64()),
+                "n_clusters": pa.array([], pa.int64()),
+            }
+        )
+    df = reps.to_pandas()
+    sizes = df.groupby("rep_id").size()
+    hist = sizes.value_counts().sort_index()
+    return pa.table(
+        {
+            "cluster_size": pa.array(hist.index.to_numpy(np.int64), pa.int64()),
+            "n_clusters": pa.array(hist.to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def minhash_cluster_reps(sf_dir: str, threshold: float = 0.5):
     """Connected components over the verified MinHash+LSH pair graph:
     (doc_id, rep_id) for every doc in at least one near-dup pair, where
