@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": relational.running_totals,
         "domain_stats": text.domain_stats,
         "cluster_size_histogram": dedup.cluster_size_histogram,
+        "type_token_ratio": text.type_token_ratio,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -935,6 +936,14 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT "
             "AS cum_value_e4 FROM events"
+        ),
+        # lexical diversity per doc: distinct/total tokens, d*1e6/n
+        # association (single deterministic division per row — exact)
+        "type_token_ratio": (
+            "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
+            "CAST(floor(len(list_distinct(string_split(text, ' '))) * 1000000.0 "
+            "/ len(string_split(text, ' ')) + 0.5) AS BIGINT) AS ttr_e6 "
+            "FROM documents"
         ),
         # per-source corpus profile: doc count, exact-distinct texts,
         # token mass — all integer counts/sums, exact

@@ -632,3 +632,30 @@ def domain_stats(sf_dir: str):
     agg = agg.sort_values("source", kind="mergesort").reset_index(drop=True)
     agg = agg.astype({"n_docs": np.int64, "n_distinct": np.int64, "sum_tokens": np.int64})
     return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def type_token_ratio(sf_dir: str):
+    """Type-token ratio per document (lexical-diversity quality signal,
+    Gopher-family): distinct tokens / total tokens, exported as the
+    repo-wide scaled int with the d*1e6/n association (the
+    repetition_scores lesson — match the oracle's float association
+    exactly). Vectorized per batch: one vocab pass per doc."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def ttr(t: pa.Table) -> pa.Table:
+        n_out, r_out = [], []
+        for text in t["text"].to_pylist():
+            toks = text.split(" ")
+            n = len(toks)
+            d = len(set(toks))
+            n_out.append(n)
+            r_out.append(int(np.floor(d * 1_000_000.0 / n + 0.5)) if n else 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_out, pa.int64()),
+                "ttr_e6": pa.array(r_out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(ttr, batch_format="pyarrow")
