@@ -172,6 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": text.domain_stats,
         "cluster_size_histogram": dedup.cluster_size_histogram,
         "type_token_ratio": text.type_token_ratio,
+        "percent_rank_events": relational.percent_rank_events,
+        "grouped_sample": sketches.grouped_sample,
+        "interarrival_stats": temporal.interarrival_stats,
+        "near_dup_cross_source": dedup.near_dup_cross_source,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -937,6 +941,38 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT "
             "AS cum_value_e4 FROM events"
         ),
+        # percent_rank() window function: (min_rank-1)/(n-1) within
+        # event_type — ranks/counts are exact ints, the single double
+        # division is correctly rounded in both engines, then e6-floored
+        "percent_rank_events": (
+            "SELECT event_id, event_type, "
+            "CAST(floor(percent_rank() OVER (PARTITION BY event_type "
+            "ORDER BY value) * 1000000 + 0.5) AS BIGINT) AS prank_e6 "
+            "FROM events"
+        ),
+        # per-stratum bottom-k sample: row_number over the same md5
+        # hash-priority order mirrors the engine's per-batch partial
+        # bottom-k per event_type + tiny driver merge
+        "grouped_sample": (
+            "SELECT event_id, event_type, value, prio FROM ("
+            "SELECT event_id, event_type, value, "
+            "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS prio, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY "
+            "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT, "
+            "event_id) AS rn FROM events) WHERE rn <= 50"
+        ),
+        # per-user inter-arrival gap stats: lag() over the (ts, event_id)
+        # total order; gaps are int64 microseconds — integer-exact
+        "interarrival_stats": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+            "FROM events) "
+            "SELECT user_id, count(*)::BIGINT AS n_gaps, "
+            "sum(gap_us)::BIGINT AS sum_gap_us, "
+            "min(gap_us)::BIGINT AS min_gap_us, "
+            "max(gap_us)::BIGINT AS max_gap_us "
+            "FROM o WHERE gap_us IS NOT NULL GROUP BY user_id"
+        ),
         # lexical diversity per doc: distinct/total tokens, d*1e6/n
         # association (single deterministic division per row — exact)
         "type_token_ratio": (
@@ -995,5 +1031,16 @@ def oracle_sql() -> dict[str, str]:
         "s AS (SELECT rep_id, count(*) AS cluster_size FROM r GROUP BY rep_id) "
         "SELECT cluster_size::BIGINT AS cluster_size, "
         "count(*)::BIGINT AS n_clusters FROM s GROUP BY cluster_size"
+    )
+    # cross-source near-dup matrix, layered on the verified-pair CTE:
+    # unordered source pair via least/greatest (lexicographic both sides)
+    d["near_dup_cross_source"] = (
+        f"WITH p AS ({_MINHASH_PAIRS_SQL}) "
+        "SELECT least(da.source, db.source) AS src_lo, "
+        "greatest(da.source, db.source) AS src_hi, "
+        "count(*)::BIGINT AS n_pairs "
+        "FROM p JOIN documents da ON p.doc_a = da.doc_id "
+        "JOIN documents db ON p.doc_b = db.doc_id "
+        "GROUP BY src_lo, src_hi"
     )
     return d

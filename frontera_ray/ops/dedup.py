@@ -827,6 +827,68 @@ def cluster_size_histogram(sf_dir: str, threshold: float = 0.5):
     )
 
 
+def near_dup_cross_source(sf_dir: str, threshold: float = 0.5):
+    """Cross-source near-duplication matrix (the contamination-flavored
+    dedup diagnostic: which source pairs share near-identical documents):
+    count verified LSH pairs per unordered (source, source) pair. Runs on
+    the cached verified-pair set (O(pairs) — the documented envelope);
+    the endpoint→source lookup is a DISTRIBUTED filtered scan of
+    documents(doc_id, source) against a broadcast endpoint-id set
+    (ray.put once, np.isin per batch) — the text column and non-endpoint
+    rows never leave the tasks, so the driver holds ≤ 2 × pairs lookup
+    rows. Integer counts + lexicographic least/greatest on ASCII source
+    names → exact vs the pairs-CTE oracle."""
+    import ray
+
+    empty = pa.table(
+        {
+            "src_lo": pa.array([], pa.string()),
+            "src_hi": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+        }
+    )
+    pairs = minhash_lsh_pairs(sf_dir, threshold).to_pandas()
+    if pairs.empty:
+        return empty
+    ids = np.unique(
+        np.concatenate(
+            [pairs["doc_a"].to_numpy(np.int64), pairs["doc_b"].to_numpy(np.int64)]
+        )
+    )
+    ids_ref = ray.put(ids)
+
+    def pick(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(d, want)))
+
+    src = (
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()  # bounded: ≤ 2 × pairs rows
+    )
+    m = dict(zip(src["doc_id"].astype(np.int64), src["source"]))
+    sa = pairs["doc_a"].map(m)
+    sb = pairs["doc_b"].map(m)
+    lo = sa.where(sa <= sb, sb)
+    hi = sb.where(sa <= sb, sa)
+    out = (
+        pd.DataFrame({"src_lo": lo, "src_hi": hi})
+        .groupby(["src_lo", "src_hi"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_pairs"})
+        .sort_values(["src_lo", "src_hi"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "src_lo": pa.array(out["src_lo"].tolist(), pa.string()),
+            "src_hi": pa.array(out["src_hi"].tolist(), pa.string()),
+            "n_pairs": pa.array(out["n_pairs"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def minhash_cluster_reps(sf_dir: str, threshold: float = 0.5):
     """Connected components over the verified MinHash+LSH pair graph:
     (doc_id, rep_id) for every doc in at least one near-dup pair, where

@@ -827,3 +827,35 @@ def window_hopping(sf_dir: str, size_min: int = 60, hop_min: int = 30):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def percent_rank_events(sf_dir: str):
+    """SQL percent_rank() window function (round-4 tail, PLAN_r5 #5):
+    each event's percentile rank of `value` within its event_type,
+    pr = (min_rank - 1) / (n - 1), exported as the repo-wide scaled int
+    floor(pr * 1e6 + 0.5). Association matches the oracle exactly:
+    DuckDB computes percent_rank as the double (rank-1)/(n-1) and the
+    engine performs the identical double divide-then-scale (ranks and
+    counts are integers — exactly representable — so the division is the
+    only rounding step and it is correctly rounded in both engines).
+    Distributed shape: groupby(event_type).map_groups with a vectorized
+    pandas min-rank inside — group cardinality = event-type cardinality
+    (bounded); a high-cardinality partition key would use the
+    route-group pattern instead (see ntile_quartiles)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        r = g["value"].rank(method="min").to_numpy(np.float64)
+        frac = (r - 1.0) / (n - 1.0) if n > 1 else np.zeros(n, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "event_type": g["event_type"].to_numpy(),
+                "prank_e6": np.floor(frac * 1_000_000.0 + 0.5).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(pr, batch_format="pandas")

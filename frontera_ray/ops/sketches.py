@@ -220,6 +220,54 @@ def weighted_sample(sf_dir: str, k: int = 200):
     )
 
 
+def grouped_sample(sf_dir: str, k: int = 50):
+    """Per-stratum fixed-size sample: the k events with the smallest
+    60-bit md5 priority WITHIN each event_type (bottom-k per group —
+    Cohen & Kaplan 2007 applied per stratum). Unlike `stratified_sample`
+    (Bernoulli per stratum, variable size) the output is exactly
+    min(k, group size) rows per type. Distributed shape: each batch
+    emits only its own bottom-k per group, so the driver merge holds
+    ≤ k × #types × #batches rows — never the corpus. SQL mirror:
+    row_number() OVER (PARTITION BY event_type ORDER BY prio, event_id)
+    <= k."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ids = df["event_id"].tolist()
+        df["prio"] = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        df = df.sort_values(["prio", "event_id"], kind="mergesort")
+        keep = df.groupby("event_type", sort=False).head(k)
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    # bounded merge: ≤ k × #types × #batches tiny partial rows
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["prio", "event_id"], kind="mergesort")
+        .groupby("event_type", sort=False)
+        .head(k)
+        .sort_values(["event_type", "prio", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].to_numpy(np.int64), pa.int64()),
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "value": pa.array(out["value"].to_numpy(np.float64), pa.float64()),
+            "prio": pa.array(out["prio"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def regex_token_stats(sf_dir: str):
     """BPE-ish regex tokenization (words | single non-space punctuation):
     per-language token totals; DuckDB oracle uses regexp_extract_all with

@@ -237,3 +237,55 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def interarrival_stats(sf_dir: str):
+    """Per-user inter-arrival gap statistics in event-time order (the
+    cadence/burstiness primitive of behavioral analytics): for each user
+    with ≥ 2 events, the count, sum, min and max of consecutive-event
+    gaps in microseconds. Distributed shape: ONE shuffle on the
+    hash-bucketed user key (all of a user's events share a bucket), one
+    vectorized sorted-diff per bucket — no per-user Python. Gaps are
+    int64 microseconds end to end, so every aggregate is integer-exact
+    vs the lag()-window oracle (epoch_us both sides)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = uid[1:] == uid[:-1]
+        gaps = pd.DataFrame(
+            {"user_id": uid[1:][same], "gap_us": ts[1:][same] - ts[:-1][same]}
+        )
+        if gaps.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": np.zeros(0, np.int64),
+                    "n_gaps": np.zeros(0, np.int64),
+                    "sum_gap_us": np.zeros(0, np.int64),
+                    "min_gap_us": np.zeros(0, np.int64),
+                    "max_gap_us": np.zeros(0, np.int64),
+                }
+            )
+        agg = gaps.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap_us", "size"),
+            sum_gap_us=("gap_us", "sum"),
+            min_gap_us=("gap_us", "min"),
+            max_gap_us=("gap_us", "max"),
+        )
+        return agg.astype(
+            {
+                "user_id": np.int64,
+                "n_gaps": np.int64,
+                "sum_gap_us": np.int64,
+                "min_gap_us": np.int64,
+                "max_gap_us": np.int64,
+            }
+        )
+
+    return (
+        _with_bucket(ds, "user_id")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
