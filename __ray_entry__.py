@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sample": sketches.grouped_sample,
         "interarrival_stats": temporal.interarrival_stats,
         "near_dup_cross_source": dedup.near_dup_cross_source,
+        "cume_dist_events": relational.cume_dist_events,
+        "lead_deltas": relational.lead_deltas,
+        "lang_length_percentiles": text.lang_length_percentiles,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -972,6 +975,36 @@ def oracle_sql() -> dict[str, str]:
             "min(gap_us)::BIGINT AS min_gap_us, "
             "max(gap_us)::BIGINT AS max_gap_us "
             "FROM o WHERE gap_us IS NOT NULL GROUP BY user_id"
+        ),
+        # cume_dist() window function: max-rank/n within event_type —
+        # same single-correctly-rounded-division argument as percent_rank
+        "cume_dist_events": (
+            "SELECT event_id, event_type, "
+            "CAST(floor(cume_dist() OVER (PARTITION BY event_type "
+            "ORDER BY value) * 1000000 + 0.5) AS BIGINT) AS cume_e6 "
+            "FROM events"
+        ),
+        # lead() window: delta to the next event's value per user over
+        # the (ts, event_id) total order; per-row e4 ints — exact
+        "lead_deltas": (
+            "WITH o AS (SELECT event_id, user_id, "
+            "CAST(floor(value*10000 + 0.5) AS BIGINT) AS v, "
+            "lead(CAST(floor(value*10000 + 0.5) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS nv FROM events) "
+            "SELECT event_id, user_id, (nv - v)::BIGINT AS delta_e4 "
+            "FROM o WHERE nv IS NOT NULL"
+        ),
+        # per-lang token-length percentiles: quantile_disc on integer
+        # lengths — no float anywhere, exact
+        "lang_length_percentiles": (
+            "WITH l AS (SELECT lang, len(string_split(text, ' ')) AS len "
+            "FROM documents) "
+            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "quantile_disc(len, 0.25)::BIGINT AS p25_len, "
+            "quantile_disc(len, 0.5)::BIGINT AS p50_len, "
+            "quantile_disc(len, 0.75)::BIGINT AS p75_len, "
+            "quantile_disc(len, 0.95)::BIGINT AS p95_len "
+            "FROM l GROUP BY lang"
         ),
         # lexical diversity per doc: distinct/total tokens, d*1e6/n
         # association (single deterministic division per row — exact)

@@ -859,3 +859,76 @@ def percent_rank_events(sf_dir: str):
         )
 
     return ds.groupby("event_type").map_groups(pr, batch_format="pandas")
+
+
+def cume_dist_events(sf_dir: str):
+    """SQL cume_dist() window function: fraction of the event_type's rows
+    with value <= this row's value (max-rank / n), exported as the
+    repo-wide floor(cd * 1e6 + 0.5) scaled int. Same exactness argument
+    as percent_rank_events: ranks and counts are exactly-representable
+    ints, the single double division is correctly rounded identically in
+    numpy and DuckDB, so the e6 floor agrees. Distributed shape:
+    groupby(event_type).map_groups, vectorized max-rank per group
+    (bounded group cardinality — the route-group pattern covers the
+    high-cardinality case)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def cd(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        r = g["value"].rank(method="max").to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "event_type": g["event_type"].to_numpy(),
+                "cume_e6": np.floor(r / n * 1_000_000.0 + 0.5).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(cd, batch_format="pandas")
+
+
+def lead_deltas(sf_dir: str, n_routes: int = 64):
+    """Per-user delta to the NEXT event's value (the lead() window
+    primitive): delta_e4 = next value_e4 - value_e4 over the
+    (ts, event_id) total order, one row per event that has a successor.
+    Values are per-row e4 ints (round-4 exact-export rule) so the
+    subtraction is integer-exact vs the lead()-window oracle.
+    Distributed shape: route = user_id % n_routes (users never split),
+    one vectorized sorted shift-compare per group."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "route": pa.array(uid % np.int64(n_routes), pa.int64()),
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "value_e4": row_scaled_int(t["value"], 10_000),
+            }
+        )
+
+    def delta(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        v = g["value_e4"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": eid[:-1][same],
+                "user_id": uid[:-1][same],
+                "delta_e4": v[1:][same] - v[:-1][same],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(delta, batch_format="pandas")
+    )

@@ -659,3 +659,40 @@ def type_token_ratio(sf_dir: str):
         )
 
     return ds.map_batches(ttr, batch_format="pyarrow")
+
+
+def lang_length_percentiles(sf_dir: str):
+    """Per-language document-length percentiles (the length-filter tuning
+    primitive of corpus curation): p25/p50/p75/p95 of token count per
+    lang, quantile_disc semantics (sorted[ceil(q*n) - 1]). Lengths are
+    integers end to end — no float anywhere, exact vs the oracle.
+    Distributed shape: token counting is a vectorized pyarrow pass per
+    batch (split_pattern + list_value_length — text never reaches the
+    shuffle, only (lang, len) pairs move); the per-lang sort runs in
+    map_groups over the bounded lang cardinality."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def lens(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pa.table({"lang": t["lang"], "len": pc.cast(n, pa.int64())})
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["len"].to_numpy(np.int64))
+        n = len(v)
+        pick = lambda qq: int(v[int(np.ceil(qq * n)) - 1])
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": [n],
+                "p25_len": [pick(0.25)],
+                "p50_len": [pick(0.5)],
+                "p75_len": [pick(0.75)],
+                "p95_len": [pick(0.95)],
+            }
+        )
+
+    return (
+        ds.map_batches(lens, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(q, batch_format="pandas")
+    )
