@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cume_dist_events": relational.cume_dist_events,
         "lead_deltas": relational.lead_deltas,
         "lang_length_percentiles": text.lang_length_percentiles,
+        "embedding_norms": ann.embedding_norms,
+        "first_last_values": relational.first_last_values,
+        "grouped_sample_replace": sketches.grouped_sample_replace,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1005,6 +1008,48 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(len, 0.75)::BIGINT AS p75_len, "
             "quantile_disc(len, 0.95)::BIGINT AS p95_len "
             "FROM l GROUP BY lang"
+        ),
+        # per-label L2-norm² profile: per-ROW floor(dot*1e6 + 0.5) ints
+        # summed per label (integer-exact export rule); avg via the
+        # single correctly-rounded double division of two exact ints
+        "embedding_norms": (
+            "WITH p AS (SELECT label, CAST(floor(list_inner_product("
+            "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))"
+            "*1000000 + 0.5) AS BIGINT) AS n2 FROM embeddings) "
+            "SELECT label, count(*)::BIGINT AS n, "
+            "sum(n2)::BIGINT AS sum_norm2_e6, "
+            "min(n2)::BIGINT AS min_norm2_e6, "
+            "max(n2)::BIGINT AS max_norm2_e6, "
+            "CAST(floor(sum(n2) / count(*) + 0.5) AS BIGINT) AS avg_norm2_e6 "
+            "FROM p GROUP BY label"
+        ),
+        # first_value()/last_value() windows: row_number()=1 at both ends
+        # of the per-user (ts, event_id) total order; per-row e4 ints
+        "first_last_values": (
+            "WITH o AS (SELECT user_id, event_id, "
+            "CAST(floor(value*10000 + 0.5) AS BIGINT) AS v, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rd FROM events) "
+            "SELECT f.user_id, f.event_id AS first_event_id, "
+            "l.event_id AS last_event_id, f.v AS first_value_e4, "
+            "l.v AS last_value_e4 "
+            "FROM (SELECT * FROM o WHERE rn = 1) f "
+            "JOIN (SELECT * FROM o WHERE rd = 1) l USING (user_id)"
+        ),
+        # with-replacement stratified sample: per-(type, draw) argmin of
+        # the md5(event_id:draw) priority over an events × range(k) cross
+        # join — same 15-hex-digit priority convention as grouped_sample
+        "grouped_sample_replace": (
+            "WITH d AS (SELECT unnest(range(8)) AS draw), "
+            "p AS (SELECT e.event_type, d.draw, e.event_id, e.value, "
+            "('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' || "
+            "CAST(d.draw AS VARCHAR)), 1, 15))::BIGINT AS prio "
+            "FROM events e CROSS JOIN d), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY event_type, "
+            "draw ORDER BY prio, event_id) AS rn FROM p) "
+            "SELECT event_type, draw, event_id, value FROM r WHERE rn = 1"
         ),
         # lexical diversity per doc: distinct/total tokens, d*1e6/n
         # association (single deterministic division per row — exact)

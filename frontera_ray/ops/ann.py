@@ -433,3 +433,63 @@ def ann_ivf(
         .to_pandas()
     )
     return _finish_topk(partial, k)
+
+
+def embedding_norms(sf_dir: str):
+    """Per-label L2-norm² profile of the embedding corpus (the norm-audit
+    primitive of embedding QA): n vectors plus sum/min/max/avg of the
+    per-vector squared norm. Each norm² is exported per ROW as
+    floor(dot(v,v)*1e6 + 0.5) int64 BEFORE any summation (round-4
+    integer-exact export rule), so the per-label sums are
+    order-independent at any block layout. SQL mirror:
+    list_inner_product over CAST(embedding AS DOUBLE[]), which matches
+    numpy float64 dots to the last ulp at 64 dims (PLAN_r4 gotcha; the
+    same equivalence ann_bruteforce relies on). Distributed shape: one
+    vectorized reshape+einsum per batch (the list column never reaches
+    the driver), per-batch per-label partials, and a driver merge of the
+    tiny partial frames (bounded label cardinality — the round-4
+    bounded-groupby rule)."""
+    import pandas as pd
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(len(t), len(flat) // len(t))
+        n2 = np.floor(np.einsum("ij,ij->i", m, m) * 1_000_000.0 + 0.5).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "label": t["label"].to_numpy(zero_copy_only=False),
+                "n2": n2,
+            }
+        )
+        g = df.groupby("label", sort=False)["n2"].agg(["count", "sum", "min", "max"])
+        g = g.reset_index()
+        g.columns = ["label", "n", "sum_norm2_e6", "min_norm2_e6", "max_norm2_e6"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # bounded merge: ≤ #labels × #batches tiny partial rows on the driver
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("label", sort=True).agg(
+        n=("n", "sum"),
+        sum_norm2_e6=("sum_norm2_e6", "sum"),
+        min_norm2_e6=("min_norm2_e6", "min"),
+        max_norm2_e6=("max_norm2_e6", "max"),
+    )
+    g = g.reset_index()
+    avg = np.floor(
+        g["sum_norm2_e6"].to_numpy(np.float64) / g["n"].to_numpy(np.float64) + 0.5
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "label": pa.array(g["label"].to_numpy(), pa.int32()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "sum_norm2_e6": pa.array(g["sum_norm2_e6"].to_numpy(np.int64), pa.int64()),
+            "min_norm2_e6": pa.array(g["min_norm2_e6"].to_numpy(np.int64), pa.int64()),
+            "max_norm2_e6": pa.array(g["max_norm2_e6"].to_numpy(np.int64), pa.int64()),
+            "avg_norm2_e6": pa.array(avg, pa.int64()),
+        }
+    )

@@ -932,3 +932,52 @@ def lead_deltas(sf_dir: str, n_routes: int = 64):
         .groupby("route")
         .map_groups(delta, batch_format="pandas")
     )
+
+
+def first_last_values(sf_dir: str, n_routes: int = 64):
+    """first_value()/last_value() window primitives: per user, the value
+    and event_id of the first and last event over the (ts, event_id)
+    total order. Values are per-row e4 ints (round-4 exact-export rule)
+    so the export is integer-exact vs the row_number()=1 oracle.
+    Distributed shape: route = user_id % n_routes (users never split
+    across groups — the lead_deltas pattern), one vectorized
+    sort + boundary-scan per group; only (route, user, ts, id, value_e4)
+    tuples move through the shuffle."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "route": pa.array(uid % np.int64(n_routes), pa.int64()),
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "value_e4": row_scaled_int(t["value"], 10_000),
+            }
+        )
+
+    def fl(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        v = g["value_e4"].to_numpy(np.int64)
+        first = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        last = np.r_[first[1:] - 1, len(uid) - 1]
+        return pd.DataFrame(
+            {
+                "user_id": uid[first],
+                "first_event_id": eid[first],
+                "last_event_id": eid[last],
+                "first_value_e4": v[first],
+                "last_value_e4": v[last],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(fl, batch_format="pandas")
+    )

@@ -479,3 +479,63 @@ def stratified_sample(sf_dir: str, pct: int = 10):
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_sample_replace(sf_dir: str, k: int = 8):
+    """Per-stratum sample WITH replacement: k independent draws per
+    event_type, where draw j selects the event minimizing the
+    deterministic priority md5(f"{event_id}:{j}") (first 15 hex digits as
+    int64) — per-draw argmin over the stratum, so one row CAN win several
+    draws (the with-replacement semantics `grouped_sample`'s bottom-k
+    cannot express). Deterministic and partition-independent like the
+    other hash samplers. Distributed shape: each batch emits only its own
+    per-(type, draw) argmin row, so the driver merge holds
+    ≤ #types × k × #batches tiny rows — never the corpus. SQL mirror:
+    row_number() OVER (PARTITION BY event_type, draw ORDER BY prio,
+    event_id) = 1 over an events × range(k) cross join."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    draws = np.arange(k, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ids = df["event_id"].tolist()
+        frames = []
+        for j in draws:
+            d = df.copy()
+            d["draw"] = np.int64(j)
+            d["prio"] = np.fromiter(
+                (
+                    int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
+                    for i in ids
+                ),
+                dtype=np.int64,
+                count=len(ids),
+            )
+            frames.append(d)
+        allp = pd.concat(frames, ignore_index=True)
+        win = (
+            allp.sort_values(["prio", "event_id"], kind="mergesort")
+            .groupby(["event_type", "draw"], sort=False)
+            .head(1)
+        )
+        return pa.Table.from_pandas(win, preserve_index=False)
+
+    # bounded merge: ≤ #types × k × #batches tiny partial rows
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["prio", "event_id"], kind="mergesort")
+        .groupby(["event_type", "draw"], sort=False)
+        .head(1)
+        .sort_values(["event_type", "draw"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "draw": pa.array(out["draw"].to_numpy(np.int64), pa.int64()),
+            "event_id": pa.array(out["event_id"].to_numpy(np.int64), pa.int64()),
+            "value": pa.array(out["value"].to_numpy(np.float64), pa.float64()),
+        }
+    )
