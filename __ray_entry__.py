@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": ann.embedding_norms,
         "first_last_values": relational.first_last_values,
         "grouped_sample_replace": sketches.grouped_sample_replace,
+        "mad_outliers": relational.mad_outliers,
+        "bigram_lift": text.bigram_lift,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1050,6 +1052,41 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY event_type, "
             "draw ORDER BY prio, event_id) AS rn FROM p) "
             "SELECT event_type, draw, event_id, value FROM r WHERE rn = 1"
+        ),
+        # robust per-type outlier profile: median/MAD as quantile_disc
+        # picks over e4 ints, 3·MAD threshold in integer arithmetic
+        "mad_outliers": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(floor(value*10000 + 0.5) AS BIGINT) AS v FROM events), "
+            "m AS (SELECT event_type, quantile_disc(v, 0.5) AS med "
+            "FROM v GROUP BY event_type), "
+            "d AS (SELECT v.event_type, v.v, m.med, abs(v.v - m.med) AS ad "
+            "FROM v JOIN m USING (event_type)), "
+            "md AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad "
+            "FROM d GROUP BY event_type) "
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "any_value(med)::BIGINT AS med_e4, "
+            "any_value(mad)::BIGINT AS mad_e4, "
+            "sum(CASE WHEN ad > 3*mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers "
+            "FROM d JOIN md USING (event_type) GROUP BY event_type"
+        ),
+        # top-k collocations: exact int counts; lift = one int product
+        # then the same mult-then-divide double ops in both engines
+        "bigram_lift": (
+            "WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), "
+            "pairs AS (SELECT unnest(t[1:len(t)-1]) AS w1, "
+            "unnest(t[2:len(t)]) AS w2 FROM toks), "
+            "bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs "
+            "GROUP BY w1, w2), "
+            "tot AS (SELECT count(*)::BIGINT AS n FROM pairs), "
+            "uni AS (SELECT unnest(t) AS w FROM toks), "
+            "uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w), "
+            "topk AS (SELECT * FROM bc ORDER BY c12 DESC, w1, w2 LIMIT 50) "
+            "SELECT tk.w1, tk.w2, tk.c12, u1.c AS c1, u2.c AS c2, "
+            "CAST(floor((tot.n * tk.c12) * 1000000.0 / (u1.c * u2.c) + 0.5) "
+            "AS BIGINT) AS lift_e6 "
+            "FROM topk tk, tot, uc u1, uc u2 "
+            "WHERE u1.w = tk.w1 AND u2.w = tk.w2"
         ),
         # lexical diversity per doc: distinct/total tokens, d*1e6/n
         # association (single deterministic division per row — exact)

@@ -981,3 +981,47 @@ def first_last_values(sf_dir: str, n_routes: int = 64):
         .groupby("route")
         .map_groups(fl, batch_format="pandas")
     )
+
+
+def mad_outliers(sf_dir: str):
+    """Robust per-type outlier profile: median, MAD (median absolute
+    deviation) and the count of rows with |v - med| > 3·MAD, all over
+    per-row e4 ints — median/MAD are quantile_disc picks
+    (sorted[ceil(q·n) - 1]) and the 3·MAD threshold is integer
+    arithmetic, so the export is integer-exact end to end (no variance
+    square that would overflow int64). Distributed shape:
+    groupby(event_type).map_groups with two vectorized sorts per group;
+    event_type cardinality is bounded. At unbounded group sizes the
+    exact median would move to the KLL path (`quantile_sketch`) — this
+    op is the exact-tier sibling."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "v": row_scaled_int(t["value"], 10_000),
+            }
+        )
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["v"].to_numpy(np.int64))
+        n = len(v)
+        med = int(v[int(np.ceil(0.5 * n)) - 1])
+        ad = np.sort(np.abs(v - med))
+        m = int(ad[int(np.ceil(0.5 * n)) - 1])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [n],
+                "med_e4": [med],
+                "mad_e4": [m],
+                "n_outliers": [int((ad > 3 * m).sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(mad, batch_format="pandas")
+    )

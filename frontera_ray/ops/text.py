@@ -696,3 +696,115 @@ def lang_length_percentiles(sf_dir: str):
         .groupby("lang")
         .map_groups(q, batch_format="pandas")
     )
+
+
+def bigram_lift(sf_dir: str, k: int = 50):
+    """Collocation extraction (the PMI-style phrase-mining primitive of
+    corpus curation): the top-k bigrams by corpus count, with their
+    unigram counts and lift_e6 = floor(N·c12·1e6 / (c1·c2) + 0.5) where
+    N is the total bigram count. c12/c1/c2/N are exact int64 counts; the
+    (N·c12) int product is exact, and the single ·1e6-then-divide runs
+    as the same two correctly-rounded double ops in numpy and DuckDB
+    (repo-wide single-division argument), so the export hashes equal.
+    Distributed shape: per-batch vectorized bigram counting (flattened
+    token array + doc-boundary mask — text never reaches the shuffle,
+    only (w1, w2, count) partials), one two-key groupby over the
+    combiner output, per-block partial top-k, bounded driver merge;
+    unigram counts for the ≤ 2k winner words come from a second
+    broadcast-filtered pass (never a full vocabulary build)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def _flat_tokens(t: pa.Table):
+        col = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = np.asarray(col.flatten().to_pylist(), dtype=object)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        ends = np.cumsum(lens)
+        return flat, ends
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        flat, ends = _flat_tokens(t)
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c12": pa.array([], pa.int64()),
+                }
+            )
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        keep[ends[:-1] - 1] = False  # pairs never cross a doc boundary
+        df = pd.DataFrame({"w1": flat[:-1][keep], "w2": flat[1:][keep]})
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="c12")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(pair_counts, batch_format="pyarrow")
+    agg = parts.groupby(["w1", "w2"]).aggregate(Sum("c12", alias_name="c12"))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["c12", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    # bounded merges: ≤ k × #blocks top-k rows; ≤ 1 × #batches totals
+    top = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top = (
+        top.sort_values(
+            ["c12", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    def n_partial(t: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pa.table(
+            {"n": pa.array([int(pc.sum(lens).as_py()) - len(t)], pa.int64())}
+        )
+
+    # N = Σ_docs (len - 1): one scalar per batch, bounded driver sum
+    n_total = int(
+        ds.map_batches(n_partial, batch_format="pyarrow").to_pandas()["n"].sum()
+    )
+
+    words = sorted(set(top["w1"]) | set(top["w2"]))
+
+    def uni_counts(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t)
+        s = pd.Series(flat)
+        c = s[s.isin(words)].value_counts()
+        return pa.table(
+            {
+                "w": pa.array(c.index.tolist(), pa.string()),
+                "c": pa.array(c.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    # bounded merge: ≤ 2k winner words × #batches
+    uc = (
+        ds.map_batches(uni_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("w")["c"]
+        .sum()
+    )
+    c12 = top["c12"].to_numpy(np.int64)
+    c1 = uc.reindex(top["w1"]).to_numpy(np.int64)
+    c2 = uc.reindex(top["w2"]).to_numpy(np.int64)
+    lift = np.floor(
+        (np.int64(n_total) * c12).astype(np.float64)
+        * 1_000_000.0
+        / (c1 * c2).astype(np.float64)
+        + 0.5
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "w1": pa.array(top["w1"].tolist(), pa.string()),
+            "w2": pa.array(top["w2"].tolist(), pa.string()),
+            "c12": pa.array(c12, pa.int64()),
+            "c1": pa.array(c1, pa.int64()),
+            "c2": pa.array(c2, pa.int64()),
+            "lift_e6": pa.array(lift, pa.int64()),
+        }
+    )
