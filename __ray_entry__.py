@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sample_replace": sketches.grouped_sample_replace,
         "mad_outliers": relational.mad_outliers,
         "bigram_lift": text.bigram_lift,
+        "word_freq_histogram": text.word_freq_histogram,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1087,6 +1088,15 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS lift_e6 "
             "FROM topk tk, tot, uc u1, uc u2 "
             "WHERE u1.w = tk.w1 AND u2.w = tk.w2"
+        ),
+        # Zipf profile: counts-of-counts over the vocabulary, overflow
+        # bucket at 100 — pure integer counts
+        "word_freq_histogram": (
+            "WITH uni AS (SELECT unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w) "
+            "SELECT least(c, 100)::BIGINT AS freq, "
+            "count(*)::BIGINT AS n_words FROM uc GROUP BY least(c, 100)"
         ),
         # lexical diversity per doc: distinct/total tokens, d*1e6/n
         # association (single deterministic division per row — exact)

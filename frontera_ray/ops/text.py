@@ -808,3 +808,57 @@ def bigram_lift(sf_dir: str, k: int = 50):
             "lift_e6": pa.array(lift, pa.int64()),
         }
     )
+
+
+def word_freq_histogram(sf_dir: str, cap: int = 100):
+    """Zipf profile of the corpus vocabulary (the vocabulary-growth /
+    tokenizer-sizing signal): for each occurrence count f (capped at
+    `cap`, higher counts pooled into the overflow bucket), how many
+    distinct words occur exactly f times. Pure integer counts — exact.
+    Distributed shape: per-batch partial word counts (combiner), ONE
+    groupby over the vocabulary (the only unbounded exchange — counts
+    only, 16 bytes/word), then a per-block counts-of-counts partial
+    (≤ cap+1 rows per block) and a bounded driver merge. The histogram
+    itself never exceeds cap+1 rows anywhere."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        col = pc.split_pattern(t["text"], " ").combine_chunks()
+        s = pd.Series(np.asarray(col.flatten().to_pylist(), dtype=object))
+        c = s.value_counts()
+        return pa.table(
+            {
+                "w": pa.array(c.index.tolist(), pa.string()),
+                "c": pa.array(c.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def fof(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = np.minimum(c, np.int64(cap))
+        binc = np.bincount(f, minlength=cap + 1)
+        nz = np.flatnonzero(binc)
+        return pa.table(
+            {
+                "freq": pa.array(nz.astype(np.int64), pa.int64()),
+                "n_words": pa.array(binc[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    # bounded merge: ≤ (cap+1) × #blocks tiny histogram partials
+    parts = agg.map_batches(fof, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("freq", sort=True)["n_words"].sum().reset_index()
+    return pa.table(
+        {
+            "freq": pa.array(out["freq"].to_numpy(np.int64), pa.int64()),
+            "n_words": pa.array(out["n_words"].to_numpy(np.int64), pa.int64()),
+        }
+    )
