@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": relational.mad_outliers,
         "bigram_lift": text.bigram_lift,
         "word_freq_histogram": text.word_freq_histogram,
+        "char_trigram_topk": text.char_trigram_topk,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1097,6 +1098,19 @@ def oracle_sql() -> dict[str, str]:
             "uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w) "
             "SELECT least(c, 100)::BIGINT AS freq, "
             "count(*)::BIGINT AS n_words FROM uc GROUP BY least(c, 100)"
+        ),
+        # per-lang character-trigram top-k: exact int counts; ASCII
+        # corpus ⇒ byte positions = DuckDB character positions
+        "char_trigram_topk": (
+            "WITH pos AS (SELECT lang, text, "
+            "unnest(range(1, len(text) - 1)) AS i FROM documents), "
+            "g AS (SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS gram "
+            "FROM pos), "
+            "c AS (SELECT lang, gram, count(*)::BIGINT AS c FROM g "
+            "GROUP BY lang, gram), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+            "ORDER BY c DESC, gram) AS rn FROM c) "
+            "SELECT lang, gram, c, rn::BIGINT AS rn FROM r WHERE rn <= 20"
         ),
         # lexical diversity per doc: distinct/total tokens, d*1e6/n
         # association (single deterministic division per row — exact)

@@ -862,3 +862,81 @@ def word_freq_histogram(sf_dir: str, cap: int = 100):
             "n_words": pa.array(out["n_words"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def char_trigram_topk(sf_dir: str, k: int = 20):
+    """Per-language character-trigram profile (the feature table of
+    n-gram language identifiers, cf. Cavnar & Trenkle 1994): the top-k
+    trigrams per lang by count, with a deterministic (count DESC, gram)
+    rank. Counts are exact ints; the corpus is ASCII so byte positions
+    equal DuckDB's character positions. Distributed shape: per-batch
+    vectorized counting — one uint8 view per (batch, lang), trigrams as
+    base-256 int codes, np.unique — so raw text never reaches the
+    shuffle, only (lang, gram, count) partials; one bounded groupby,
+    per-block top-k partials, driver merge ≤ k × #langs × #blocks."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        texts = np.asarray(t["text"].to_pylist(), dtype=object)
+        out_lang, out_gram, out_c = [], [], []
+        for lg in pd.unique(langs):
+            # NUL separators make cross-doc windows detectable
+            blob = np.frombuffer(
+                "\x00\x00".join(texts[langs == lg]).encode("ascii"), dtype=np.uint8
+            )
+            if len(blob) < 3:
+                continue
+            a, b, c = (
+                blob[:-2].astype(np.int64),
+                blob[1:-1].astype(np.int64),
+                blob[2:].astype(np.int64),
+            )
+            valid = (a != 0) & (b != 0) & (c != 0)
+            codes = a[valid] * 65536 + b[valid] * 256 + c[valid]
+            uniq, cnt = np.unique(codes, return_counts=True)
+            out_lang.extend([lg] * len(uniq))
+            out_gram.extend(
+                chr(u >> 16) + chr((u >> 8) & 255) + chr(u & 255) for u in uniq
+            )
+            out_c.extend(int(x) for x in cnt)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "gram": pa.array(out_gram, pa.string()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "gram"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["lang", "c", "gram"], ascending=[True, False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(k), preserve_index=False
+        )
+
+    # bounded merge: ≤ k × #langs × #blocks partial rows on the driver
+    top = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(
+        ["lang", "c", "gram"], ascending=[True, False, True], kind="mergesort"
+    )
+    top = top.groupby("lang", sort=False).head(k).reset_index(drop=True)
+    top["rn"] = top.groupby("lang", sort=False).cumcount() + 1
+    return pa.table(
+        {
+            "lang": pa.array(top["lang"].tolist(), pa.string()),
+            "gram": pa.array(top["gram"].tolist(), pa.string()),
+            "c": pa.array(top["c"].to_numpy(np.int64), pa.int64()),
+            "rn": pa.array(top["rn"].to_numpy(np.int64), pa.int64()),
+        }
+    )
