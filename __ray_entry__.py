@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lift": text.bigram_lift,
         "word_freq_histogram": text.word_freq_histogram,
         "char_trigram_topk": text.char_trigram_topk,
+        "centroid_alignment": ann.centroid_alignment,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1111,6 +1112,24 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
             "ORDER BY c DESC, gram) AS rn FROM c) "
             "SELECT lang, gram, c, rn::BIGINT AS rn FROM r WHERE rn <= 20"
+        ),
+        # label-pair centroid alignment: per-row e4 component quantize →
+        # integer component sums → integer pairwise dots (all exact;
+        # parallel unnest zips embedding with range(1,65))
+        "centroid_alignment": (
+            "WITH comp AS (SELECT label, unnest(range(1, 65)) AS i, "
+            "CAST(floor(CAST(unnest(embedding) AS DOUBLE)*10000 + 0.5) "
+            "AS BIGINT) AS q FROM embeddings), "
+            "s AS (SELECT label, i, sum(q)::BIGINT AS s FROM comp "
+            "GROUP BY label, i), "
+            "n AS (SELECT label, count(*)::BIGINT AS n FROM embeddings "
+            "GROUP BY label) "
+            "SELECT a.label AS label_a, b.label AS label_b, "
+            "na.n AS n_a, nb.n AS n_b, sum(a.s * b.s)::BIGINT AS dot_q "
+            "FROM s a JOIN s b ON a.i = b.i AND a.label <= b.label "
+            "JOIN n na ON na.label = a.label "
+            "JOIN n nb ON nb.label = b.label "
+            "GROUP BY a.label, b.label, na.n, nb.n"
         ),
         # lexical diversity per doc: distinct/total tokens, d*1e6/n
         # association (single deterministic division per row — exact)

@@ -493,3 +493,75 @@ def embedding_norms(sf_dir: str):
             "avg_norm2_e6": pa.array(avg, pa.int64()),
         }
     )
+
+
+def centroid_alignment(sf_dir: str):
+    """Cluster-separability audit for the embedding corpus: for every
+    unordered label pair (a ≤ b, diagonal included), the dot product of
+    the two labels' component-sum vectors over per-row e4-quantized
+    components, plus both label counts. Quantizing each component per
+    ROW (floor(v*1e4 + 0.5), the repo's integer-exact export rule) makes
+    the component sums — and therefore the dots — exact integers,
+    order-independent at any block layout; the un-normalized dot is the
+    separability signal (normalize offline if a cosine is wanted).
+    Distributed shape: one vectorized reshape+quantize per batch, one
+    (label × 64)-int partial per batch, driver merge in Python ints
+    (bounded: #labels × 64 scalars); the pairwise dots are driver math
+    over ≤ #labels² pairs. int64 envelope: |dot| ≤ 64·(n·5300)² — safe
+    through ~1e8 vectors at this value range (asserted)."""
+    import pandas as pd
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(len(t), len(flat) // len(t))
+        q = np.floor(m * 10_000.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"label": t["label"].to_numpy(zero_copy_only=False)})
+        labels, counts, sums = [], [], []
+        for lb, idx in df.groupby("label", sort=False).indices.items():
+            labels.append(int(lb))
+            counts.append(len(idx))
+            sums.append(q[idx].sum(axis=0).tolist())
+        return pa.table(
+            {
+                "label": pa.array(labels, pa.int32()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.array(sums, pa.list_(pa.int64())),
+            }
+        )
+
+    # bounded merge: ≤ #labels × #batches partial rows, 64 ints each
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc: dict[int, tuple[int, list[int]]] = {}
+    for lb, n, s in zip(parts["label"], parts["n"], parts["s"]):
+        cur = acc.get(int(lb))
+        if cur is None:
+            acc[int(lb)] = (int(n), [int(x) for x in s])
+        else:
+            acc[int(lb)] = (
+                cur[0] + int(n),
+                [a + int(b) for a, b in zip(cur[1], s)],
+            )
+    out = {"label_a": [], "label_b": [], "n_a": [], "n_b": [], "dot_q": []}
+    for a in sorted(acc):
+        for b in sorted(acc):
+            if a > b:
+                continue
+            dot = sum(x * y for x, y in zip(acc[a][1], acc[b][1]))
+            assert abs(dot) < 2**63, "dot_q exceeds the int64 export envelope"
+            out["label_a"].append(a)
+            out["label_b"].append(b)
+            out["n_a"].append(acc[a][0])
+            out["n_b"].append(acc[b][0])
+            out["dot_q"].append(dot)
+    return pa.table(
+        {
+            "label_a": pa.array(out["label_a"], pa.int32()),
+            "label_b": pa.array(out["label_b"], pa.int32()),
+            "n_a": pa.array(out["n_a"], pa.int64()),
+            "n_b": pa.array(out["n_b"], pa.int64()),
+            "dot_q": pa.array(out["dot_q"], pa.int64()),
+        }
+    )
