@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq_histogram": text.word_freq_histogram,
         "char_trigram_topk": text.char_trigram_topk,
         "centroid_alignment": ann.centroid_alignment,
+        "source_lang_matrix": text.source_lang_matrix,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1130,6 +1131,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN n na ON na.label = a.label "
             "JOIN n nb ON nb.label = b.label "
             "GROUP BY a.label, b.label, na.n, nb.n"
+        ),
+        # source × lang composition matrix: pure integer counts/sums
+        "source_lang_matrix": (
+            "SELECT source, lang, count(*)::BIGINT AS n_docs, "
+            "sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens, "
+            "sum(len(text))::BIGINT AS sum_chars "
+            "FROM documents GROUP BY source, lang"
         ),
         # lexical diversity per doc: distinct/total tokens, d*1e6/n
         # association (single deterministic division per row — exact)

@@ -940,3 +940,57 @@ def char_trigram_topk(sf_dir: str, k: int = 20):
             "rn": pa.array(top["rn"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def source_lang_matrix(sf_dir: str):
+    """Corpus-composition contingency matrix (the mixture-audit table of
+    corpus curation, complementing the per-source rollup of
+    `domain_stats`): per (source, lang) cell, document count, total token
+    mass and total character mass — all exact integer counts/sums.
+    Distributed shape: one vectorized pyarrow pass per batch (token count
+    = split + list_value_length; char count = utf8_length — text never
+    leaves the task), per-batch two-key partials, bounded driver merge
+    (≤ #sources × #langs × #batches tiny rows)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["source", "lang", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "lang": t["lang"].to_pylist(),
+                "n_tok": n_tok.to_numpy(zero_copy_only=False).astype(np.int64),
+                "n_chars": pc.utf8_length(t["text"])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(["source", "lang"], sort=False)
+            .agg(n_docs=("n_tok", "size"), sum_tokens=("n_tok", "sum"), sum_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # bounded merge: ≤ #sources × #langs × #batches partial rows
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["source", "lang"], sort=True)
+        .agg(
+            n_docs=("n_docs", "sum"),
+            sum_tokens=("sum_tokens", "sum"),
+            sum_chars=("sum_chars", "sum"),
+        )
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "lang": pa.array(out["lang"].tolist(), pa.string()),
+            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64), pa.int64()),
+            "sum_tokens": pa.array(out["sum_tokens"].to_numpy(np.int64), pa.int64()),
+            "sum_chars": pa.array(out["sum_chars"].to_numpy(np.int64), pa.int64()),
+        }
+    )
