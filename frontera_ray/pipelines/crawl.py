@@ -36,6 +36,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -319,9 +320,13 @@ class Crawler:
         if hit.empty:
             return None
         now_us = int(self._pages_max_ts_us())
-        ts_us = hit["warc_ts"].astype("int64")
-        stale = set(hit.loc[now_us - ts_us >= cfg.revisit_min_age_us, "url"])
-        mask = pa.array([u in stale for u in rev["url"].to_pylist()])
+        # Pin the unit explicitly: pandas may coerce timestamps to ns
+        # under other pandas/pyarrow versions; _pages_max_ts_us() is us.
+        ts_us = (
+            hit["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        stale = hit.loc[now_us - ts_us >= cfg.revisit_min_age_us, "url"]
+        mask = pc.is_in(rev["url"], value_set=pa.array(stale, pa.string()))
         return rev.filter(mask)
 
     def _pages_max_ts_us(self) -> int:
