@@ -176,9 +176,9 @@ def media_pipeline(sf_dir: str):
     def summarize(t: pa.Table) -> pa.Table:
         # scaled-int export (repo convention) so the SQL mirror can
         # hash-match; identical arithmetic to the old driver-side map
-        sums = np.array(
-            [float(np.asarray(v, dtype=np.float64).sum()) for v in t["feature_small"].to_pylist()]
-        )
+        from .ann import _emb_matrix
+
+        sums = _emb_matrix(t["feature_small"]).sum(axis=1)
         e6 = np.floor(sums * 1_000_000 + 0.5).astype(np.int64)
         return t.drop_columns(["feature_small"]).append_column(
             "feat_small_e6", pa.array(e6, pa.int64())
