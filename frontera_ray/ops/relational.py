@@ -801,28 +801,35 @@ def window_hopping(sf_dir: str, size_min: int = 60, hop_min: int = 30):
     def explode(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         base = (ts // hop_us) * hop_us  # latest window start containing ts
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # per-row e4 ints (round-4 exact-export rule)
         val = row_scaled_int(t["value"], 10_000).to_numpy(zero_copy_only=False)
-        starts, uids, vals = [], [], []
-        for j in range(n_win):
-            starts.append(base - j * hop_us)
-            uids.append(uid)
-            vals.append(val)
+        starts = np.concatenate([base - j * hop_us for j in range(n_win)])
+        uids = np.tile(uid, n_win)
+        vals = np.tile(val, n_win)
+        # within-batch partial combine (round-5, VERDICT r4 #3 — the
+        # top_ngrams combiner pattern): the shuffle then moves one row
+        # per (user, window) per BATCH instead of n_win rows per event
+        pairs = np.stack([uids, starts], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, vals)  # int64 accumulate — exact-export rule
         return pa.table(
             {
-                "user_id": pa.array(np.concatenate(uids)),
+                "user_id": pa.array(uniq[:, 0], pa.int64()),
                 "window_start": pa.array(
-                    np.concatenate(starts).astype("datetime64[us]"), pa.timestamp("us")
+                    uniq[:, 1].astype("datetime64[us]"), pa.timestamp("us")
                 ),
-                "value_e4": pa.array(np.concatenate(vals), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+                "value_e4": pa.array(sums, pa.int64()),
             }
         )
 
     out = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby(["user_id", "window_start"])
-        .aggregate(Count(alias_name="n"), Sum("value_e4", alias_name="sum_value_e4"))
+        .aggregate(Sum("n", alias_name="n"), Sum("value_e4", alias_name="sum_value_e4"))
     )
 
     def finish(t: pa.Table) -> pa.Table:
