@@ -270,6 +270,10 @@ class OfferStage:
         # winner key "dddddd|pppppppppppppppp|url": fixed-width numeric
         # fields make lexicographic min == tuple min. (Measured: the
         # f-string loop beats np.char/pandas string concat 3x.)
+        # COLD PATH: nothing in the crawl invokes __call__ — the epoch
+        # loop goes through AdmitOfferStage._fast (factorize-first, keys
+        # built once per surviving distinct url). This synchronous entry
+        # exists for standalone/offline use of the offer protocol only.
         keys = [f"{d:06d}|{p:016x}|{u}" for d, p, u in zip(depth, parent, urls)]
         cash = (
             t["parent_score"].to_numpy(zero_copy_only=False)
@@ -309,6 +313,9 @@ class OfferStage:
         depth = t["depth"].to_pylist()
         parent = t["parent_fp64"].to_pylist()
         urls = t["url"].to_pylist()
+        # COLD PATH: reached only from AdmitOfferStage._legacy, i.e. when
+        # a custom link-filter hook is installed (the dirty-variant pass);
+        # the default crawl admits through _fast's factorize-first keys.
         keys = [f"{d:06d}|{p:016x}|{u}" for d, p, u in zip(depth, parent, urls)]
         cash = (
             t["parent_score"].to_numpy(zero_copy_only=False)
@@ -356,6 +363,10 @@ def aggregate_candidates(admitted_ds, cfg: CrawlConfig):
         depth = t["depth"].to_pylist()
         parent = t["parent_fp64"].to_pylist()
         urls = t["url"].to_pylist()
+        # COLD PATH: aggregate_candidates is the Dataset-shuffle
+        # alternative kept for path-equivalence testing (T3); the crawl's
+        # epoch loop schedules via per-partition files and admits through
+        # AdmitOfferStage._fast — this prep never runs in the hot loop.
         keys = [
             f"{d:06d}|{p:016x}|{u}" for d, p, u in zip(depth, parent, urls)
         ]
