@@ -425,18 +425,25 @@ def _ann_ivf_sql(
     )
 
 
-# shared media CTEs: high-nibble byte histogram of the (ASCII) payload,
-# normalized in float64 — mirrors ops/multimodal.fake_decode exactly
+# shared media CTEs (round-5, REAL PNG decode): the engine decodes genuine
+# PNG payloads (zlib + all five scanline filters); the oracle recomputes
+# the SAME pixels from the analytic fixture rule in
+# ops/multimodal.media_image — pixel (r,c) of media m is
+# (m*37 + r*11 + c*7) % 256 on a 16×(8 + m%9) greyscale image. Any
+# mis-reconstructed scanline in the engine's decoder breaks the hash.
+# The norm is integer-exact: sqrt(Σ count²)/n_pixels from INT counts.
 _MEDIA_CTES = (
-    "nib AS (SELECT doc_id AS media_id, "
-    "ascii(substr(text, CAST(i AS INT), 1)) // 16 AS nibble "
-    "FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i "
-    "FROM documents)), "
-    "counts AS (SELECT media_id, nibble, count(*)::DOUBLE AS c "
-    "FROM nib GROUP BY media_id, nibble), "
-    "tot AS (SELECT media_id, sum(c) AS t FROM counts GROUP BY media_id), "
-    "nrm AS (SELECT counts.media_id, sqrt(sum(pow(c / t, 2))) AS v "
-    "FROM counts JOIN tot USING (media_id) GROUP BY counts.media_id)"
+    "px AS (SELECT doc_id AS media_id, 16*(8 + doc_id % 9) AS npx, "
+    "unnest(range(0, 16*(8 + doc_id % 9))) AS i FROM documents), "
+    "nib AS (SELECT media_id, npx, "
+    "((media_id*37 + (i // 16)*11 + (i % 16)*7) % 256) // 16 AS nibble FROM px), "
+    "counts AS (SELECT media_id, npx, nibble, count(*)::BIGINT AS c "
+    "FROM nib GROUP BY media_id, npx, nibble), "
+    "tot AS (SELECT media_id, CAST(npx AS DOUBLE) AS t FROM counts "
+    "GROUP BY media_id, npx), "
+    "nrm AS (SELECT counts.media_id, "
+    "sqrt(CAST(sum(c*c) AS DOUBLE)) / t AS v "
+    "FROM counts JOIN tot USING (media_id) GROUP BY counts.media_id, t)"
 )
 
 _SIMHASH_SIG_SQL = (
@@ -688,22 +695,23 @@ def oracle_sql() -> dict[str, str]:
             "/ greatest(len(string_split(text,' ')), 1) * 1000000 + 0.5) AS BIGINT) AS avg_tok_len_e6 "
             "FROM documents"
         ),
-        # the STUB media decoder is a deterministic high-nibble histogram
-        # over the (ASCII) payload bytes — exactly expressible in SQL, so
-        # even the multimodal plumbing gets a value-hash oracle
+        # round-5: the media decoder is a REAL pure-stdlib PNG decode
+        # (functions/png.py); the oracle recomputes the features from the
+        # analytic pixel rule — see _MEDIA_CTES. n_pixels comes from the
+        # engine's DECODE output, verified against 16*(8 + id%9)
         "media_features": (
             f"WITH {_MEDIA_CTES} "
             "SELECT d.doc_id AS media_id, "
             "CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
-            "CAST(length(d.text) AS BIGINT) AS n_bytes, "
+            "CAST(16*(8 + d.doc_id % 9) AS BIGINT) AS n_pixels, "
             "CAST(floor(nrm.v * 1000000 + 0.5) AS BIGINT) AS feature_norm_e6 "
             "FROM documents d JOIN nrm ON nrm.media_id = d.doc_id"
         ),
-        # the full chained media pipeline (decode → resize rebin → frame
-        # sampling), round-3 (VERDICT r2 #4): the rebin mirrors BOTH
+        # the full chained media pipeline (PNG decode → resize rebin →
+        # frame sampling over DECODED bytes): the rebin mirrors BOTH
         # float32 quantization layers (CAST AS FLOAT) with ordered
-        # sequential sums between them; frame counts are pure arithmetic
-        # on the payload length
+        # sequential sums between them; frame counts are arithmetic on the
+        # decoded pixel count (16-byte frames, keep every 2nd)
         "media_pipeline": (
             f"WITH {_MEDIA_CTES}, "
             # storage-quantized histogram components (float32 of c/t),
@@ -715,13 +723,13 @@ def oracle_sql() -> dict[str, str]:
             "fs AS (SELECT media_id, CAST(floor("
             "list_sum(list(CAST(r AS DOUBLE) ORDER BY bin)) * 1000000 + 0.5) "
             "AS BIGINT) AS feat_small_e6 FROM rb GROUP BY media_id), "
-            # frame sampling: chunks of 64 bytes (≥1), keep every 4th
+            # frames over decoded pixels: 16-byte chunks (≥1), keep every 2nd
             "fr AS (SELECT doc_id AS media_id, "
-            "CAST((greatest(1, (length(text) + 63) // 64) + 3) // 4 AS BIGINT) "
+            "CAST((greatest(1, (16*(8 + doc_id % 9) + 15) // 16) + 1) // 2 AS BIGINT) "
             "AS n_frames FROM documents) "
             "SELECT d.doc_id AS media_id, "
             "CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
-            "CAST(length(d.text) AS BIGINT) AS n_bytes, "
+            "CAST(16*(8 + d.doc_id % 9) AS BIGINT) AS n_pixels, "
             "fs.feat_small_e6, fr.n_frames "
             "FROM documents d "
             "JOIN fs ON fs.media_id = d.doc_id JOIN fr ON fr.media_id = d.doc_id"
