@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_trigram_topk": text.char_trigram_topk,
         "centroid_alignment": ann.centroid_alignment,
         "source_lang_matrix": text.source_lang_matrix,
+        # round-5 additions (tail slots — pytest-parity + oracled)
+        "trigram_lift": text.trigram_lift,
+        "nth_value_events": relational.nth_value_events,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1051,6 +1054,40 @@ def oracle_sql() -> dict[str, str]:
             "l.v AS last_value_e4 "
             "FROM (SELECT * FROM o WHERE rn = 1) f "
             "JOIN (SELECT * FROM o WHERE rd = 1) l USING (user_id)"
+        ),
+        # nth_value() window: row_number()=3 of the per-user (ts,
+        # event_id) total order; users with <3 events absent
+        "nth_value_events": (
+            "WITH o AS (SELECT user_id, event_id, "
+            "CAST(floor(value*10000 + 0.5) AS BIGINT) AS v, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events) "
+            "SELECT user_id, event_id AS nth_event_id, v AS nth_value_e4 "
+            "FROM o WHERE rn = 3"
+        ),
+        # trigram bridge lift: top-k trigrams vs their two overlapping
+        # bigrams — N·c123 and c12·c23 exact int64 products, one
+        # ·1e6-then-divide as two correctly-rounded double ops (the
+        # bigram_lift export argument); DuckDB zips the three unnests
+        # positionally (the r4 parallel-unnest gotcha, re-verified)
+        "trigram_lift": (
+            "WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), "
+            "tri AS (SELECT unnest(t[1:len(t)-2]) AS w1, "
+            "unnest(t[2:len(t)-1]) AS w2, unnest(t[3:len(t)]) AS w3 FROM toks), "
+            "tc AS (SELECT w1, w2, w3, count(*)::BIGINT AS c123 FROM tri "
+            "GROUP BY w1, w2, w3), "
+            "tot AS (SELECT count(*)::BIGINT AS n FROM tri), "
+            "pairs AS (SELECT unnest(t[1:len(t)-1]) AS u1, "
+            "unnest(t[2:len(t)]) AS u2 FROM toks), "
+            "bc AS (SELECT u1, u2, count(*)::BIGINT AS c FROM pairs "
+            "GROUP BY u1, u2), "
+            "topk AS (SELECT * FROM tc ORDER BY c123 DESC, w1, w2, w3 LIMIT 50) "
+            "SELECT tk.w1, tk.w2, tk.w3, tk.c123, b1.c AS c12, b2.c AS c23, "
+            "CAST(floor((tot.n * tk.c123) * 1000000.0 / (b1.c * b2.c) + 0.5) "
+            "AS BIGINT) AS lift_e6 "
+            "FROM topk tk, tot, bc b1, bc b2 "
+            "WHERE b1.u1 = tk.w1 AND b1.u2 = tk.w2 "
+            "AND b2.u1 = tk.w2 AND b2.u2 = tk.w3"
         ),
         # with-replacement stratified sample: per-(type, draw) argmin of
         # the md5(event_id:draw) priority over an events × range(k) cross

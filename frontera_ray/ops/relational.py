@@ -947,6 +947,52 @@ def lead_deltas(sf_dir: str, n_routes: int = 64):
     )
 
 
+def nth_value_events(sf_dir: str, n: int = 3, n_routes: int = 64):
+    """nth_value() window primitive (round-5, the PLAN_r5 remaining
+    window idea): per user, the event_id and value of the n-th event
+    over the (ts, event_id) total order; users with fewer than n events
+    are absent (row_number() = n semantics). Values are per-row e4 ints
+    (exact-export rule). Distributed shape: route = user_id % n_routes
+    (users never split across groups — the first_last_values pattern),
+    one vectorized sort + offset-scan per group; only (route, user, ts,
+    id, value_e4) tuples move through the shuffle."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "route": pa.array(uid % np.int64(n_routes), pa.int64()),
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "value_e4": row_scaled_int(t["value"], 10_000),
+            }
+        )
+
+    def nth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        first = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        counts = np.r_[first[1:], len(uid)] - first
+        pos = first[counts >= n] + (n - 1)
+        return pd.DataFrame(
+            {
+                "user_id": uid[pos],
+                "nth_event_id": g["event_id"].to_numpy(np.int64)[pos],
+                "nth_value_e4": g["value_e4"].to_numpy(np.int64)[pos],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(nth, batch_format="pandas")
+    )
+
+
 def first_last_values(sf_dir: str, n_routes: int = 64):
     """first_value()/last_value() window primitives: per user, the value
     and event_id of the first and last event over the (ts, event_id)

@@ -810,6 +810,149 @@ def bigram_lift(sf_dir: str, k: int = 50):
     )
 
 
+def trigram_lift(sf_dir: str, k: int = 50):
+    """Trigram collocation extraction (round-5, the PLAN_r5 remaining
+    SQL-mirrorable idea): the top-k word trigrams by corpus count, with
+    their component-BIGRAM counts and the bridge lift
+    lift_e6 = floor(N·c123·1e6 / (c12·c23) + 0.5) — how much more often
+    w1w2w3 occurs than its two overlapping bigrams predict (the trigram
+    extension of `bigram_lift`'s PMI-style score). N·c123 and c12·c23
+    are exact int64 products; the single ·1e6-then-divide runs as the
+    same two correctly-rounded double ops in numpy and DuckDB (the
+    bigram_lift export argument), so the hash matches.
+
+    Distributed shape (the bigram_lift template): per-batch vectorized
+    trigram counting over the flattened token array with doc-boundary
+    masks (text never reaches the shuffle, only (w1,w2,w3,count)
+    partials), one three-key groupby over the combiner output, per-block
+    partial top-k, bounded driver merge; bigram counts for the ≤ 2k
+    winner pairs come from a second broadcast-filtered pass (never a
+    full bigram-vocabulary build)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def _flat_tokens(t: pa.Table):
+        col = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = np.asarray(col.flatten().to_pylist(), dtype=object)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        ends = np.cumsum(lens)
+        return flat, ends
+
+    def tri_counts(t: pa.Table) -> pa.Table:
+        flat, ends = _flat_tokens(t)
+        if len(flat) < 3:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "w3": pa.array([], pa.string()),
+                    "c123": pa.array([], pa.int64()),
+                }
+            )
+        keep = np.ones(len(flat) - 2, dtype=bool)
+        # windows never cross a doc boundary: kill the last TWO start
+        # positions of every doc but the final one
+        b = ends[:-1]
+        keep[b[b - 1 < len(keep)] - 1] = False
+        keep[b[b - 2 >= 0] - 2] = False
+        df = pd.DataFrame(
+            {"w1": flat[:-2][keep], "w2": flat[1:-1][keep], "w3": flat[2:][keep]}
+        )
+        g = df.groupby(["w1", "w2", "w3"], sort=False).size().reset_index(name="c123")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(tri_counts, batch_format="pyarrow")
+    agg = parts.groupby(["w1", "w2", "w3"]).aggregate(Sum("c123", alias_name="c123"))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["c123", "w1", "w2", "w3"],
+            ascending=[False, True, True, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    # bounded merges: ≤ k × #blocks top-k rows; ≤ 1 × #batches totals
+    top = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top = (
+        top.sort_values(
+            ["c123", "w1", "w2", "w3"],
+            ascending=[False, True, True, True],
+            kind="mergesort",
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+    def n_partial(t: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(pc.split_pattern(t["text"], " ")).to_numpy(
+            zero_copy_only=False
+        )
+        n = int(np.maximum(lens - 2, 0).sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    # N = Σ_docs max(len-2, 0): one scalar per batch, bounded driver sum
+    n_total = int(
+        ds.map_batches(n_partial, batch_format="pyarrow").to_pandas()["n"].sum()
+    )
+
+    pairs_wanted = sorted(
+        set(zip(top["w1"], top["w2"])) | set(zip(top["w2"], top["w3"]))
+    )
+
+    def pair_counts_for(t: pa.Table) -> pa.Table:
+        flat, ends = _flat_tokens(t)
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    "u1": pa.array([], pa.string()),
+                    "u2": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        keep[ends[:-1] - 1] = False  # pairs never cross a doc boundary
+        df = pd.DataFrame({"u1": flat[:-1][keep], "u2": flat[1:][keep]})
+        key = pd.MultiIndex.from_frame(df)
+        df = df[key.isin(pairs_wanted)]
+        g = df.groupby(["u1", "u2"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # bounded merge: ≤ 2k winner pairs × #batches
+    bc = (
+        ds.map_batches(pair_counts_for, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["u1", "u2"])["c"]
+        .sum()
+    )
+    c123 = top["c123"].to_numpy(np.int64)
+    c12 = bc.reindex(pd.MultiIndex.from_arrays([top["w1"], top["w2"]])).to_numpy(
+        np.int64
+    )
+    c23 = bc.reindex(pd.MultiIndex.from_arrays([top["w2"], top["w3"]])).to_numpy(
+        np.int64
+    )
+    lift = np.floor(
+        (np.int64(n_total) * c123).astype(np.float64)
+        * 1_000_000.0
+        / (c12 * c23).astype(np.float64)
+        + 0.5
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "w1": pa.array(top["w1"].tolist(), pa.string()),
+            "w2": pa.array(top["w2"].tolist(), pa.string()),
+            "w3": pa.array(top["w3"].tolist(), pa.string()),
+            "c123": pa.array(c123, pa.int64()),
+            "c12": pa.array(c12, pa.int64()),
+            "c23": pa.array(c23, pa.int64()),
+            "lift_e6": pa.array(lift, pa.int64()),
+        }
+    )
+
+
 def word_freq_histogram(sf_dir: str, cap: int = 100):
     """Zipf profile of the corpus vocabulary (the vocabulary-growth /
     tokenizer-sizing signal): for each occurrence count f (capped at

@@ -70,3 +70,52 @@ def test_embedding_norms_covers_corpus():
     assert set(out["label"]) == set(emb["label"].unique())
     assert (out["min_norm2_e6"] <= out["avg_norm2_e6"]).all()
     assert (out["avg_norm2_e6"] <= out["max_norm2_e6"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nth_value_events_route_invariance_and_semantics():
+    """Round-5: route count is a pure partitioning knob, and the n-th row
+    matches a pandas row_number()=n reference."""
+    out = _df(relational.nth_value_events(SF, n=3))
+    assert _df(relational.nth_value_events(SF, n=3, n_routes=1)).equals(out)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ref = ev.groupby("user_id").nth(2).reset_index()
+    ref = ref[ref["user_id"].map(ev.groupby("user_id").size()) >= 3]
+    assert len(out) == len(ref)
+    m = out.merge(ref, left_on=["user_id", "nth_event_id"],
+                  right_on=["user_id", "event_id"])
+    assert len(m) == len(out)
+    import numpy as np
+    assert (m["nth_value_e4"] == np.floor(m["value"] * 10_000 + 0.5)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trigram_lift_structure():
+    """Round-5: every winner trigram's two component bigrams exist with
+    c12, c23 >= c123, and the lift matches the integer formula."""
+    import numpy as np
+
+    out = text.trigram_lift(SF, k=20).to_pandas()
+    assert len(out) == 20
+    assert (out["c12"] >= out["c123"]).all()
+    assert (out["c23"] >= out["c123"]).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = docs["text"].str.split(" ")
+    n_total = int(sum(max(len(t) - 2, 0) for t in toks))
+    lift = np.floor(
+        (n_total * out["c123"].to_numpy(np.int64)).astype(np.float64)
+        * 1_000_000.0
+        / (out["c12"].to_numpy(np.int64) * out["c23"].to_numpy(np.int64)).astype(np.float64)
+        + 0.5
+    ).astype(np.int64)
+    assert (out["lift_e6"].to_numpy() == lift).all()
+    # spot-check one trigram count against a direct pandas scan
+    w1, w2, w3 = out.loc[0, ["w1", "w2", "w3"]]
+    direct = sum(
+        1
+        for t in toks
+        for i in range(len(t) - 2)
+        if t[i] == w1 and t[i + 1] == w2 and t[i + 2] == w3
+    )
+    assert direct == out.loc[0, "c123"]
