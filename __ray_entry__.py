@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 additions (tail slots — pytest-parity + oracled)
         "trigram_lift": text.trigram_lift,
         "nth_value_events": relational.nth_value_events,
+        "filter_funnel": text.filter_funnel,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1064,6 +1065,22 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id) AS rn FROM events) "
             "SELECT user_id, event_id AS nth_event_id, v AS nth_value_e4 "
             "FROM o WHERE rn = 3"
+        ),
+        # quality-filter funnel (C4/Gopher-style rule stack): cumulative
+        # AND of integer-exact rules; avg-token-length uses the same
+        # x*1.0/n*1e6 association as the quality_scores oracle
+        "filter_funnel": (
+            "WITH f AS (SELECT source, len(string_split(text,' ')) AS nt, "
+            f"len(list_filter(string_split(text,' '), x -> x IN {stop_list})) AS nstop, "
+            "CAST(floor((length(text) - (len(string_split(text,' ')) - 1)) * 1.0 "
+            "/ greatest(len(string_split(text,' ')), 1) * 1000000 + 0.5) AS BIGINT) AS atl "
+            "FROM documents) "
+            "SELECT source, count(*)::BIGINT AS n_total, "
+            "CAST(sum(CASE WHEN nt BETWEEN 30 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok, "
+            "CAST(sum(CASE WHEN nt BETWEEN 30 AND 90 AND nstop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok, "
+            "CAST(sum(CASE WHEN nt BETWEEN 30 AND 90 AND nstop >= 2 "
+            "AND atl BETWEEN 3000000 AND 8000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_toklen_ok "
+            "FROM f GROUP BY source"
         ),
         # trigram bridge lift: top-k trigrams vs their two overlapping
         # bigrams — N·c123 and c12·c23 exact int64 products, one

@@ -1147,3 +1147,75 @@ def source_lang_matrix(sf_dir: str):
             "sum_chars": pa.array(out["sum_chars"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def filter_funnel(sf_dir: str):
+    """Quality-filter funnel per source (the pipeline-health view of a
+    C4/Gopher-style cleaning stack — Raffel et al. 2020 §2.2, Rae et al.
+    2021 §A1.1, public recipes): how many documents survive each
+    successive rule — token-count window, minimum stopword evidence,
+    average-token-length window. Cumulative AND semantics, so every count
+    is monotonically non-increasing left to right; the drop between
+    adjacent columns attributes removals to one rule. Shape: one
+    vectorized map_batches pass (flatten + is_in + add.reduceat for the
+    stopword counts — no per-row Python), per-batch partial sums by
+    source (≤ |sources| rows per block), tiny driver merge. Integer
+    counts end-to-end: exact vs the oracle at any scale. The avg-token-
+    length export uses the repo float-association rule (x*1.0/n*1e6,
+    matching the quality_scores oracle)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    stop_arr = pa.array(list(_STOPWORDS), pa.string())
+
+    def masks(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nt) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_total": pa.array([], pa.int64()),
+                    "n_len_ok": pa.array([], pa.int64()),
+                    "n_stop_ok": pa.array([], pa.int64()),
+                    "n_toklen_ok": pa.array([], pa.int64()),
+                }
+            )
+        # segment-sum stopword hits per doc: every doc has >=1 token
+        # (split_pattern of any string yields at least one element), so
+        # each reduceat segment start is a valid flat index
+        hits = pc.is_in(toks.flatten(), value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        nstop = np.add.reduceat(hits, offs[:-1])
+        n_chars = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        atl_e6 = np.floor(
+            (n_chars - (nt - 1)) / np.maximum(nt, 1).astype(np.float64) * 1_000_000
+            + 0.5
+        ).astype(np.int64)
+        m_len = (nt >= 30) & (nt <= 90)
+        m_stop = m_len & (nstop >= 2)
+        m_atl = m_stop & (atl_e6 >= 3_000_000) & (atl_e6 <= 8_000_000)
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "n_total": np.ones(len(nt), np.int64),
+                "n_len_ok": m_len.astype(np.int64),
+                "n_stop_ok": m_stop.astype(np.int64),
+                "n_toklen_ok": m_atl.astype(np.int64),
+            }
+        )
+        g = df.groupby("source", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # bounded merge: <= |sources| x #blocks partial rows reach the driver
+    parts = ds.map_batches(masks, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("source", sort=True, as_index=False).sum()
+    return pa.table(
+        {
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "n_total": pa.array(out["n_total"].to_numpy(np.int64), pa.int64()),
+            "n_len_ok": pa.array(out["n_len_ok"].to_numpy(np.int64), pa.int64()),
+            "n_stop_ok": pa.array(out["n_stop_ok"].to_numpy(np.int64), pa.int64()),
+            "n_toklen_ok": pa.array(out["n_toklen_ok"].to_numpy(np.int64), pa.int64()),
+        }
+    )

@@ -119,3 +119,51 @@ def test_trigram_lift_structure():
         if t[i] == w1 and t[i + 1] == w2 and t[i + 2] == w3
     )
     assert direct == out.loc[0, "c123"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_funnel_monotone_and_exact():
+    """filter_funnel: cumulative-AND counts are monotone non-increasing,
+    totals cover the corpus, and every column matches a direct pandas
+    recompute of the rule stack (token window, >=2 stopwords,
+    avg-token-length window with the repo x*1.0/n*1e6 association)."""
+    import numpy as np
+
+    out = text.filter_funnel(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert out["n_total"].sum() == len(docs)
+    assert (out["n_total"] >= out["n_len_ok"]).all()
+    assert (out["n_len_ok"] >= out["n_stop_ok"]).all()
+    assert (out["n_stop_ok"] >= out["n_toklen_ok"]).all()
+    # the thresholds must actually discriminate on this corpus
+    assert out["n_toklen_ok"].sum() < out["n_total"].sum()
+    assert out["n_toklen_ok"].sum() > 0
+
+    toks = docs["text"].str.split(" ")
+    nt = toks.str.len().to_numpy(np.int64)
+    stop = {"the", "a", "to", "of", "and"}
+    nstop = np.array([sum(1 for w in t if w in stop) for t in toks], np.int64)
+    nch = docs["text"].str.len().to_numpy(np.int64)
+    atl = np.floor(
+        (nch - (nt - 1)) / np.maximum(nt, 1).astype(np.float64) * 1_000_000 + 0.5
+    ).astype(np.int64)
+    m1 = (nt >= 30) & (nt <= 90)
+    m2 = m1 & (nstop >= 2)
+    m3 = m2 & (atl >= 3_000_000) & (atl <= 8_000_000)
+    ref = (
+        pd.DataFrame(
+            {
+                "source": docs["source"],
+                "n_total": 1,
+                "n_len_ok": m1.astype(np.int64),
+                "n_stop_ok": m2.astype(np.int64),
+                "n_toklen_ok": m3.astype(np.int64),
+            }
+        )
+        .groupby("source", as_index=False)
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    got = out.sort_values("source").reset_index(drop=True)[ref.columns]
+    assert got.astype(np.int64, errors="ignore").equals(ref.astype(got.dtypes.to_dict()))
