@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_lift": text.trigram_lift,
         "nth_value_events": relational.nth_value_events,
         "filter_funnel": text.filter_funnel,
+        "shipping_priority": relational.shipping_priority,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1065,6 +1066,21 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id) AS rn FROM events) "
             "SELECT user_id, event_id AS nth_event_id, v AS nth_value_e4 "
             "FROM o WHERE rn = 3"
+        ),
+        # TPC-H Q3 shape: revenue_e4 sums per-ROW scaled ints (the exact-
+        # export rule); top-k tie-break (revenue desc, date, orderkey) is
+        # mirrored exactly so LIMIT is deterministic
+        "shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS revenue_e4 "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey LIMIT 10"
         ),
         # quality-filter funnel (C4/Gopher-style rule stack): cumulative
         # AND of integer-exact rules; avg-token-length uses the same

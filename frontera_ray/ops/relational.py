@@ -1084,3 +1084,117 @@ def mad_outliers(sf_dir: str):
         .groupby("event_type")
         .map_groups(mad, batch_format="pandas")
     )
+
+
+def shipping_priority(sf_dir: str, k: int = 10, n_routes: int = 64):
+    """TPC-H Q3-shaped shipping-priority top-k (public query shape): the
+    unshipped revenue of BUILDING-segment customers' pre-cutoff orders,
+    top-k orders by revenue. Three-table pipeline with NO broadcast side
+    (at 100 TB customer/orders/lineitem are all fact-sized here):
+
+      customer(filtered segment, key only)  ⋈  orders(filtered date)
+        via hash_shuffle_join on custkey (route-bounded, both stream)
+      lineitem(filtered shipdate) → per-batch COMBINER: row-scaled-int
+        revenue pre-summed by l_orderkey inside each block (≤1 row per
+        (block, order) leaves the map stage)
+        ⋈ the joined orders via hash_shuffle_join on orderkey
+      → groupby(order) Sum of int64 partials (order-independent)
+      → per-block partial top-k, driver merges ≤ k×blocks rows.
+
+    Integer-exact export: revenue_e4 = sum of per-ROW
+    floor(l_extendedprice*(1-l_discount)*1e4 + 0.5) (the repo-wide
+    exact-export rule; association matches pricing_summary's oracle)."""
+    cutoff = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def cust_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], pa.scalar("BUILDING")))
+        return t.select(["c_custkey"])
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], cutoff))
+        # carry the date as int64 µs so it survives the neutral-fill
+        # union inside hash_shuffle_join with an integer dtype
+        od_us = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "od_us": pa.array(od_us, pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    bld_orders = hash_shuffle_join(
+        orders.map_batches(ord_filter, batch_format="pyarrow"),
+        cust.map_batches(cust_filter, batch_format="pyarrow"),
+        "o_custkey",
+        "c_custkey",
+        n_routes=n_routes,
+    )
+
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "rev_e4": row_scaled_int(rev, 10_000).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = df.groupby("l_orderkey", sort=False, as_index=False)["rev_e4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    joined = hash_shuffle_join(
+        line.map_batches(line_partial, batch_format="pyarrow"),
+        bld_orders.drop_columns(["o_custkey"]),
+        "l_orderkey",
+        "o_orderkey",
+        n_routes=n_routes,
+    )
+
+    per_order = joined.groupby(["l_orderkey", "od_us", "o_orderpriority"]).aggregate(
+        Sum("rev_e4", alias_name="revenue_e4")
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_e4", "od_us", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    # bounded: ≤ k rows per block reach the driver
+    parts = per_order.map_batches(topk, batch_format="pandas").to_pandas()
+    out = topk(parts).reset_index(drop=True)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(out["l_orderkey"].to_numpy(np.int64), pa.int64()),
+            "o_orderdate": pa.array(
+                out["od_us"].to_numpy(np.int64).astype("datetime64[us]")
+            ),
+            "o_orderpriority": pa.array(
+                out["o_orderpriority"].tolist(), pa.string()
+            ),
+            "revenue_e4": pa.array(out["revenue_e4"].to_numpy(np.int64), pa.int64()),
+        }
+    )

@@ -167,3 +167,52 @@ def test_filter_funnel_monotone_and_exact():
     )
     got = out.sort_values("source").reset_index(drop=True)[ref.columns]
     assert got.astype(np.int64, errors="ignore").equals(ref.astype(got.dtypes.to_dict()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shipping_priority_matches_pandas():
+    """shipping_priority (TPC-H Q3 shape): exact match against a direct
+    pandas recompute with the same integer-exact revenue export and the
+    same (revenue desc, date, orderkey) tie-break."""
+    import numpy as np
+
+    out = relational.shipping_priority(SF).to_pandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    line = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("1998-01-01")
+    o = orders[orders["o_orderdate"] < cutoff].merge(
+        cust[cust["c_mktsegment"] == "BUILDING"],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    l = line[line["l_shipdate"] > cutoff].copy()
+    l["revenue_e4"] = np.floor(
+        (l["l_extendedprice"] * (1.0 - l["l_discount"])).to_numpy(np.float64)
+        * 10_000
+        + 0.5
+    ).astype(np.int64)
+    j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    ref = (
+        j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False)[
+            "revenue_e4"
+        ]
+        .sum()
+        .sort_values(
+            ["revenue_e4", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert len(out) == 10
+    assert out[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_e4"]].equals(
+        ref[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_e4"]]
+    )
