@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nth_value_events": relational.nth_value_events,
         "filter_funnel": text.filter_funnel,
         "shipping_priority": relational.shipping_priority,
+        "local_supplier_volume": relational.local_supplier_volume,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1066,6 +1067,21 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id) AS rn FROM events) "
             "SELECT user_id, event_id AS nth_event_id, v AS nth_value_e4 "
             "FROM o WHERE rn = 3"
+        ),
+        # TPC-H Q5 shape (local-supplier volume): same exact-export rule;
+        # grouped by (region, nation) with no region filter so the output
+        # is discriminative at every sf
+        "local_supplier_volume": (
+            "SELECT r_name, n_name, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS revenue_e4 "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1999-01-01' "
+            "GROUP BY r_name, n_name"
         ),
         # TPC-H Q3 shape: revenue_e4 sums per-ROW scaled ints (the exact-
         # export rule); top-k tie-break (revenue desc, date, orderkey) is

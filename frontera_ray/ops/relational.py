@@ -1198,3 +1198,155 @@ def shipping_priority(sf_dir: str, k: int = 10, n_routes: int = 64):
             "revenue_e4": pa.array(out["revenue_e4"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def local_supplier_volume(sf_dir: str, n_routes: int = 64):
+    """TPC-H Q5-shaped local-supplier volume (public query shape):
+    revenue per (region, nation) from lineitems whose supplier sits in
+    the ordering customer's own nation, over a 3-year order window.
+    Six-table composition with the repo's two join regimes:
+
+      dims (supplier→nationkey, nation⋈region→names) broadcast ONCE via
+        ray.put as decoded dense-key arrays (star_join pattern — they
+        are small everywhere, even at 100 TB);
+      facts chain through TWO hash_shuffle_joins with no broadcast side:
+        orders(date-filtered) ⋈ customer on custkey → c_nationkey,
+        lineitem per-batch COMBINER (row-scaled-int revenue pre-summed
+        by (orderkey, suppkey) inside each block) ⋈ that on orderkey;
+      the local-supplier predicate (supplier nation == customer nation)
+        is a vectorized dim gather + equality mask per batch — never a
+        shuffle — and the final groupby is a bounded driver merge
+        (≤ |nations| rows per block).
+
+    Integer-exact export: revenue_e4 sums per-ROW
+    floor(l_extendedprice*(1-l_discount)*1e4 + 0.5)."""
+    import ray
+
+    supp = pd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pd.read_parquet(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pd.read_parquet(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    nm = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    max_nk = int(nm["n_nationkey"].max())
+    n_name_by_key = [""] * (max_nk + 1)
+    r_name_by_key = [""] * (max_nk + 1)
+    for nk, nn_, rn in zip(nm["n_nationkey"], nm["n_name"], nm["r_name"]):
+        n_name_by_key[int(nk)] = nn_
+        r_name_by_key[int(nk)] = rn
+    supp_nat = np.full(int(supp["s_suppkey"].max()) + 1, -1, np.int64)
+    supp_nat[supp["s_suppkey"].to_numpy(np.int64)] = supp["s_nationkey"].to_numpy(
+        np.int64
+    )
+    lk_ref = ray.put((supp_nat, n_name_by_key, r_name_by_key))
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1999-01-01", "us"))
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)
+        )
+        t = t.filter(m)
+        return t.select(["o_custkey", "o_orderkey"])
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+
+    def cust_sel(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        )
+
+    cust_orders = hash_shuffle_join(
+        orders.map_batches(ord_filter, batch_format="pyarrow"),
+        cust.map_batches(cust_sel, batch_format="pyarrow"),
+        "o_custkey",
+        "c_custkey",
+        n_routes=n_routes,
+    )
+
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "rev_e4": row_scaled_int(rev, 10_000).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["l_orderkey", "l_suppkey"], sort=False, as_index=False)[
+            "rev_e4"
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    joined = hash_shuffle_join(
+        line.map_batches(line_partial, batch_format="pyarrow"),
+        cust_orders.drop_columns(["o_custkey"]),
+        "l_orderkey",
+        "o_orderkey",
+        n_routes=n_routes,
+    )
+
+    def local_partial(df: pd.DataFrame) -> pd.DataFrame:
+        snk, n_names, r_names = ray.get(lk_ref)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        # bounds-mask BEFORE indexing (star_join lesson): dirty FK keys
+        # behave as inner-join drops, not IndexError / wraparound
+        sk_ok = (sk >= 0) & (sk < len(snk))
+        s_nat = np.where(sk_ok, snk[np.where(sk_ok, sk, 0)], -1)
+        keep = (s_nat >= 0) & (s_nat == df["c_nationkey"].to_numpy(np.int64))
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "r_name": pd.Series([], dtype=object),
+                    "n_name": pd.Series([], dtype=object),
+                    "revenue_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        nk = s_nat[keep]
+        # NO n_items export: the combiner collapses lineitem rows within
+        # each block, so row counts here are block-layout-dependent —
+        # only the int64 revenue sums are layout-invariant
+        cnt = np.bincount(nk, minlength=len(n_names))
+        rev = np.bincount(
+            nk, weights=df["rev_e4"].to_numpy(np.float64)[keep], minlength=len(n_names)
+        )
+        present = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {
+                "r_name": [r_names[i] for i in present],
+                "n_name": [n_names[i] for i in present],
+                "revenue_e4": rev[present].astype(np.int64),
+            }
+        )
+
+    partials = joined.map_batches(local_partial, batch_format="pandas").to_pandas()
+    agg = partials.groupby(["r_name", "n_name"], as_index=False).agg(
+        revenue_e4=("revenue_e4", "sum")
+    )
+    agg = agg.sort_values(["r_name", "n_name"], kind="mergesort").reset_index(drop=True)
+    agg = agg.astype({"revenue_e4": np.int64})
+    return pa.table(
+        {
+            "r_name": pa.array(agg["r_name"].tolist(), pa.string()),
+            "n_name": pa.array(agg["n_name"].tolist(), pa.string()),
+            "revenue_e4": pa.array(agg["revenue_e4"].to_numpy(np.int64), pa.int64()),
+        }
+    )

@@ -216,3 +216,51 @@ def test_shipping_priority_matches_pandas():
     assert out[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_e4"]].equals(
         ref[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_e4"]]
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_local_supplier_volume_matches_pandas():
+    """local_supplier_volume (TPC-H Q5 shape): exact match against a
+    direct pandas recompute (local-supplier predicate, date window,
+    integer-exact revenue), and route-count invariance of the two
+    shuffle joins."""
+    import numpy as np
+
+    out = relational.local_supplier_volume(SF).to_pandas()
+    assert _df(relational.local_supplier_volume(SF, n_routes=7)).equals(_df(out))
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    line = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = pd.read_parquet(f"{SF}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    reg = pd.read_parquet(f"{SF}/region.parquet")
+    o = orders[
+        (orders["o_orderdate"] >= np.datetime64("1996-01-01"))
+        & (orders["o_orderdate"] < np.datetime64("1999-01-01"))
+    ].merge(cust, left_on="o_custkey", right_on="c_custkey")
+    l = line.copy()
+    l["revenue_e4"] = np.floor(
+        (l["l_extendedprice"] * (1.0 - l["l_discount"])).to_numpy(np.float64) * 10_000
+        + 0.5
+    ).astype(np.int64)
+    j = (
+        l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[j["s_nationkey"] == j["c_nationkey"]]
+    j = j.merge(nat, left_on="s_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    ref = (
+        j.groupby(["r_name", "n_name"], as_index=False)["revenue_e4"]
+        .sum()
+        .sort_values(["r_name", "n_name"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert out[["r_name", "n_name", "revenue_e4"]].equals(ref)
