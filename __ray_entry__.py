@@ -194,6 +194,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_funnel": text.filter_funnel,
         "shipping_priority": relational.shipping_priority,
         "local_supplier_volume": relational.local_supplier_volume,
+        "revenue_forecast": relational.revenue_forecast,
+        "promo_revenue": relational.promo_revenue,
+        "returned_item_revenue": relational.returned_item_revenue,
+        "large_volume_orders": relational.large_volume_orders,
+        "late_shipment_priority": relational.late_shipment_priority,
+        "weekday_activity": temporal.weekday_activity,
+        "hourly_load": temporal.hourly_load,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1137,6 +1144,87 @@ def oracle_sql() -> dict[str, str]:
             "FROM topk tk, tot, bc b1, bc b2 "
             "WHERE b1.u1 = tk.w1 AND b1.u2 = tk.w2 "
             "AND b2.u1 = tk.w2 AND b2.u2 = tk.w3"
+        ),
+        # TPC-H Q6 shape: scalar forecast — per-ROW scaled ints (the
+        # exact-export rule), plus the qualifying row count
+        "revenue_forecast": (
+            "SELECT CAST(sum(CAST(floor(l_extendedprice*l_discount*10000 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4, "
+            "count(*)::BIGINT AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        # TPC-H Q14 shape: promo share — both sums per-ROW scaled; the
+        # share is HUGEINT floor division (engine mirrors with Python
+        # ints), no float division anywhere
+        "promo_revenue": (
+            "WITH f AS (SELECT CAST(floor(l_extendedprice*(1-l_discount)"
+            "*10000 + 0.5) AS BIGINT) AS rev, "
+            "(p_type LIKE 'PROMO%') AS is_promo "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
+            "AND l_shipdate < TIMESTAMP '1997-10-01') "
+            "SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) "
+            "AS BIGINT) AS promo_revenue_e4, "
+            "CAST(sum(rev) AS BIGINT) AS total_revenue_e4, "
+            "CAST((sum(CASE WHEN is_promo THEN rev ELSE 0 END) * 1000000) "
+            "// sum(rev) AS BIGINT) AS promo_share_e6 FROM f"
+        ),
+        # TPC-H Q10 shape: top-20 customers by returned revenue; top-k
+        # tie-break (revenue desc, custkey) mirrored exactly
+        "returned_item_revenue": (
+            "SELECT c_custkey, c_name, n_name, "
+            "CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_e2, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4 "
+            "FROM customer, orders, lineitem, nation "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND c_nationkey = n_nationkey AND l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01' "
+            "GROUP BY c_custkey, c_name, n_name, acctbal_e2 "
+            "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"
+        ),
+        # TPC-H Q18 shape: large-volume orders (HAVING over per-order
+        # scaled-int quantity sums), top-100 by totalprice
+        "large_volume_orders": (
+            "WITH big AS (SELECT l_orderkey, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS total_qty_e2 FROM lineitem GROUP BY l_orderkey "
+            "HAVING sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) "
+            "> 20000) "
+            "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+            "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_e2, "
+            "total_qty_e2 "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY totalprice_e2 DESC, o_orderkey LIMIT 100"
+        ),
+        # TPC-H Q4 shape (adapted: EXISTS a lineitem shipped > 90 days
+        # after the order date); EXISTS == per-order max(l_shipdate)
+        "late_shipment_priority": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS late_count "
+            "FROM orders WHERE "
+            "o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 90 DAY) "
+            "GROUP BY o_orderpriority"
+        ),
+        # day-of-week load profile: dayofweek() matches the engine's
+        # ((us // 86400e6) + 4) % 7 for non-negative epochs
+        "weekday_activity": (
+            "SELECT event_type, dayofweek(ts)::BIGINT AS dow, "
+            "count(*)::BIGINT AS n, "
+            "CAST(sum(CAST(floor(value*10000 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS value_e4 FROM events GROUP BY event_type, dow"
+        ),
+        # hour-of-day histogram: hour() matches (us // 3600e6) % 24
+        "hourly_load": (
+            "SELECT event_type, hour(ts)::BIGINT AS hour, "
+            "count(*)::BIGINT AS n FROM events GROUP BY event_type, hour"
         ),
         # with-replacement stratified sample: per-(type, draw) argmin of
         # the md5(event_id:draw) priority over an events × range(k) cross

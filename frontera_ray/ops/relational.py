@@ -1350,3 +1350,438 @@ def local_supplier_volume(sf_dir: str, n_routes: int = 64):
             "revenue_e4": pa.array(agg["revenue_e4"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def revenue_forecast(sf_dir: str):
+    """TPC-H Q6-shaped revenue forecast (public query shape): the scalar
+    revenue delta of dropping small-quantity discounts in one shipdate
+    year. The cheapest possible distributed shape — predicate + per-ROW
+    scaled-int revenue inside each block, ONE partial row per block, a
+    bounded driver sum. At 100 TB this is a pure column-pruned scan with
+    no shuffle at all.
+
+    Integer-exact export: revenue_e4 sums per-ROW
+    floor(l_extendedprice*l_discount*1e4 + 0.5) (repo exact-export rule)."""
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        s = int(
+            np.sum(row_scaled_int(rev, 10_000).to_numpy(zero_copy_only=False))
+        ) if t.num_rows else 0
+        return pa.table(
+            {
+                "revenue_e4": pa.array([s], pa.int64()),
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    # bounded: one row per block reaches the driver
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "revenue_e4": pa.array([int(parts["revenue_e4"].sum())], pa.int64()),
+            "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+        }
+    )
+
+
+def promo_revenue(sf_dir: str):
+    """TPC-H Q14-shaped promo-revenue share (public query shape): what
+    fraction of one shipdate month's revenue came from PROMO-typed parts.
+    part is dim-small relative to lineitem at every scale, so it is
+    broadcast ONCE via ray.put as a dense is-promo bitmap indexed by
+    p_partkey (the star_join pattern); lineitem streams with a per-block
+    partial (promo_e4, total_e4) pair — no shuffle, bounded driver merge.
+
+    Integer-exact export: the two sums follow the per-ROW scaled-int rule;
+    the share is exported as promo_share_e6 = (promo*1e6) // total in
+    ARBITRARY-precision integers (Python int / DuckDB HUGEINT — identical
+    floor division, no float in sight)."""
+    import ray
+
+    part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    promo = np.zeros(int(part["p_partkey"].max()) + 1, dtype=bool)
+    promo[part["p_partkey"].to_numpy(np.int64)] = (
+        part["p_type"].str.startswith("PROMO").to_numpy()
+    )
+    promo_ref = ray.put(promo)
+
+    lo = pa.scalar(np.datetime64("1997-09-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-10-01", "us"))
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pm = ray.get(promo_ref)
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)
+        )
+        t = t.filter(m)
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "promo_revenue_e4": pa.array([0], pa.int64()),
+                    "total_revenue_e4": pa.array([0], pa.int64()),
+                }
+            )
+        rev = row_scaled_int(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            ),
+            10_000,
+        ).to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # bounds-mask before indexing (star_join lesson): unknown part
+        # keys count as non-promo, never IndexError/wraparound
+        ok = (pk >= 0) & (pk < len(pm))
+        is_promo = np.where(ok, pm[np.where(ok, pk, 0)], False)
+        return pa.table(
+            {
+                "promo_revenue_e4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total_revenue_e4": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    p = int(parts["promo_revenue_e4"].sum())
+    tot = int(parts["total_revenue_e4"].sum())
+    share = (p * 1_000_000) // tot if tot else 0  # exact int floor division
+    return pa.table(
+        {
+            "promo_revenue_e4": pa.array([p], pa.int64()),
+            "total_revenue_e4": pa.array([tot], pa.int64()),
+            "promo_share_e6": pa.array([share], pa.int64()),
+        }
+    )
+
+
+def returned_item_revenue(sf_dir: str, k: int = 20, n_routes: int = 64):
+    """TPC-H Q10-shaped returned-item report (public query shape): the
+    top-k customers by revenue lost to returned ('R') lineitems against
+    one order quarter. customer and orders are both fact-sized at 100 TB,
+    so the chain is two hash_shuffle_joins with NO broadcast side:
+
+      lineitem(returnflag='R') per-block COMBINER by l_orderkey
+        ⋈ orders(quarter window) on orderkey → o_custkey
+      → per-block partial re-sum by custkey → groupby(custkey) Sum
+      → per-block partial top-k, driver merges ≤ k×blocks rows
+      → names for the FINAL k customers only, via a distributed
+        is_in-filtered customer scan (k rows reach the driver) and the
+        nation dim decoded driver-side (25 rows everywhere).
+
+    Integer-exact export: revenue_e4 per-ROW scaled; acctbal_e2 =
+    floor(c_acctbal*100 + 0.5)."""
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-04-01", "us"))
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)
+        )
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "rev_e4": row_scaled_int(rev, 10_000).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("l_orderkey", sort=False, as_index=False)["rev_e4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    joined = hash_shuffle_join(
+        line.map_batches(line_partial, batch_format="pyarrow"),
+        orders.map_batches(ord_filter, batch_format="pyarrow"),
+        "l_orderkey",
+        "o_orderkey",
+        n_routes=n_routes,
+    )
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False, as_index=False)["rev_e4"].sum()
+        return g.rename(columns={"rev_e4": "revenue_e4"})
+
+    per_cust = (
+        joined.map_batches(cust_partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_e4", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    # bounded: ≤ k rows per block reach the driver
+    winners = topk(
+        per_cust.map_batches(topk, batch_format="pandas").to_pandas()
+    ).reset_index(drop=True)
+
+    want = set(winners["o_custkey"].astype(np.int64).tolist())
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = pa.array(sorted(want), pa.int64())
+        return t.filter(pc.is_in(pc.cast(t["c_custkey"], pa.int64()), keys))
+
+    # bounded: exactly k customer rows reach the driver
+    names = cust.map_batches(pick, batch_format="pyarrow").to_pandas()
+    nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    names = names.merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "c_name", "c_acctbal", "n_name"]]
+    out = winners.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(
+        ["revenue_e4", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    acct = np.floor(out["c_acctbal"].to_numpy(np.float64) * 100 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["c_custkey"].to_numpy(np.int64), pa.int64()),
+            "c_name": pa.array(out["c_name"].tolist(), pa.string()),
+            "n_name": pa.array(out["n_name"].tolist(), pa.string()),
+            "acctbal_e2": pa.array(acct, pa.int64()),
+            "revenue_e4": pa.array(out["revenue_e4"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def large_volume_orders(sf_dir: str, qty_threshold: float = 200.0, k: int = 100,
+                        n_routes: int = 64):
+    """TPC-H Q18-shaped large-volume-customer report (public query shape):
+    orders whose total lineitem quantity exceeds a threshold, with the
+    ordering customer's name, top-k by order totalprice. Shape:
+
+      lineitem per-block COMBINER by l_orderkey (qty_e2 partial sums)
+      → groupby(orderkey) Sum → HAVING filter (survivors are the rare
+        tail — but still a Dataset, never assumed driver-small)
+      ⋈ orders on orderkey via hash_shuffle_join (orders streams)
+      → per-block partial top-k by (totalprice desc, orderkey), driver
+        merges ≤ k×blocks rows → names for the k winners via an
+        is_in-filtered customer scan (k rows to the driver).
+
+    Integer-exact export: total_qty_e2 / totalprice_e2 per-ROW scaled."""
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "qty_e2": row_scaled_int(t["l_quantity"], 100).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = df.groupby("l_orderkey", sort=False, as_index=False)["qty_e2"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    thr = int(qty_threshold * 100)
+    per_order = (
+        line.map_batches(line_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty_e2", alias_name="total_qty_e2"))
+        .filter(lambda r: r["total_qty_e2"] > thr)
+    )
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        od_us = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "od_us": pa.array(od_us, pa.int64()),
+                "totalprice_e2": row_scaled_int(t["o_totalprice"], 100),
+            }
+        )
+
+    joined = hash_shuffle_join(
+        per_order,
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        "l_orderkey",
+        "o_orderkey",
+        n_routes=n_routes,
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["totalprice_e2", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    # bounded: ≤ k rows per block reach the driver
+    winners = topk(
+        joined.map_batches(topk, batch_format="pandas").to_pandas()
+    ).reset_index(drop=True)
+
+    want = set(winners["o_custkey"].astype(np.int64).tolist())
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = pa.array(sorted(want), pa.int64())
+        return t.filter(pc.is_in(pc.cast(t["c_custkey"], pa.int64()), keys))
+
+    names = cust.map_batches(pick, batch_format="pyarrow").to_pandas()
+    out = winners.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(
+        ["totalprice_e2", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "c_name": pa.array(out["c_name"].tolist(), pa.string()),
+            "c_custkey": pa.array(out["c_custkey"].to_numpy(np.int64), pa.int64()),
+            "o_orderkey": pa.array(out["l_orderkey"].to_numpy(np.int64), pa.int64()),
+            "o_orderdate": pa.array(
+                out["od_us"].to_numpy(np.int64).astype("datetime64[us]")
+            ),
+            "totalprice_e2": pa.array(
+                out["totalprice_e2"].to_numpy(np.int64), pa.int64()
+            ),
+            "total_qty_e2": pa.array(
+                out["total_qty_e2"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def late_shipment_priority(sf_dir: str, grace_days: int = 90, n_routes: int = 64):
+    """TPC-H Q4-shaped order-priority check (public query shape, adapted
+    to the available columns): per order priority, how many orders in one
+    quarter have at least one lineitem shipped more than `grace_days`
+    after the order date (EXISTS semantics). The EXISTS collapses to a
+    per-order MAX:
+
+      lineitem per-block COMBINER: max(l_shipdate) per l_orderkey
+      → groupby(orderkey) Max (a shuffle of one int64 per order, the
+        smallest possible exchange for this predicate)
+      ⋈ orders(quarter window) on orderkey via hash_shuffle_join
+      → vectorized late mask (max_ship_us > od_us + grace) per batch,
+        per-block partial count by priority → bounded driver merge
+        (≤ |priorities| rows per block)."""
+    from ray.data.aggregate import Max
+
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-04-01", "us"))
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "ship_us": t["l_shipdate"]
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby("l_orderkey", sort=False, as_index=False)["ship_us"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = (
+        line.map_batches(line_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_us", alias_name="max_ship_us"))
+    )
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)
+        )
+        t = t.filter(m)
+        od_us = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "od_us": pa.array(od_us, pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    joined = hash_shuffle_join(
+        per_order,
+        orders.map_batches(ord_filter, batch_format="pyarrow"),
+        "l_orderkey",
+        "o_orderkey",
+        n_routes=n_routes,
+    )
+
+    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
+        late = df["max_ship_us"].to_numpy(np.int64) > (
+            df["od_us"].to_numpy(np.int64) + grace_us
+        )
+        sub = pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "late": late})
+        g = sub.groupby("o_orderpriority", sort=False, as_index=False).agg(
+            late_count=("late", "sum")
+        )
+        g = g[g["late_count"] > 0]
+        g["late_count"] = g["late_count"].astype(np.int64)
+        return g
+
+    # bounded: ≤ |priorities| rows per block reach the driver
+    parts = joined.map_batches(late_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("o_orderpriority", as_index=False)["late_count"].sum()
+    agg = agg.sort_values("o_orderpriority", kind="mergesort").reset_index(drop=True)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(agg["o_orderpriority"].tolist(), pa.string()),
+            "late_count": pa.array(
+                agg["late_count"].astype(np.int64).to_numpy(), pa.int64()
+            ),
+        }
+    )

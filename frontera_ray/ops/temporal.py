@@ -289,3 +289,90 @@ def interarrival_stats(sf_dir: str):
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def weekday_activity(sf_dir: str):
+    """Per (event_type, weekday) event count and value mass — the
+    day-of-week load profile every event pipeline wants. Weekday is pure
+    int64 arithmetic on the epoch-µs timestamp
+    (((us // 86_400e6) + 4) % 7 — 1970-01-01 was a Thursday, matching
+    DuckDB dayofweek()'s Sunday=0 convention for non-negative epochs), so
+    each block collapses to ≤ |types|×7 partial rows via one vectorized
+    groupby; the driver merges the bounded partials. No shuffle at all.
+
+    Integer-exact export: value_e4 sums per-ROW floor(value*1e4 + 0.5)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "ts", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(
+            np.int64
+        )
+        dow = ((us // 86_400_000_000) + 4) % 7
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "dow": dow,
+                "value_e4": np.floor(v * 10_000 + 0.5).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "dow"], sort=False, as_index=False).agg(
+            n=("value_e4", "size"), value_e4=("value_e4", "sum")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # bounded: ≤ |types|×7 rows per block reach the driver
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["event_type", "dow"], as_index=False).agg(
+        n=("n", "sum"), value_e4=("value_e4", "sum")
+    )
+    agg = agg.sort_values(["event_type", "dow"], kind="mergesort").reset_index(
+        drop=True
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"].tolist(), pa.string()),
+            "dow": pa.array(agg["dow"].astype(np.int64).to_numpy(), pa.int64()),
+            "n": pa.array(agg["n"].astype(np.int64).to_numpy(), pa.int64()),
+            "value_e4": pa.array(
+                agg["value_e4"].astype(np.int64).to_numpy(), pa.int64()
+            ),
+        }
+    )
+
+
+def hourly_load(sf_dir: str):
+    """Per (event_type, hour-of-day) event counts — the diurnal load
+    histogram. hour = (us // 3600e6) % 24 (matches DuckDB hour() for
+    non-negative epochs); each block collapses to ≤ |types|×24 partial
+    rows, driver merges. No shuffle."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(
+            np.int64
+        )
+        hour = (us // 3_600_000_000) % 24
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "hour": hour})
+        g = df.groupby(["event_type", "hour"], sort=False, as_index=False).agg(
+            n=("hour", "size")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # bounded: ≤ |types|×24 rows per block reach the driver
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+    agg = agg.sort_values(["event_type", "hour"], kind="mergesort").reset_index(
+        drop=True
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"].tolist(), pa.string()),
+            "hour": pa.array(agg["hour"].astype(np.int64).to_numpy(), pa.int64()),
+            "n": pa.array(agg["n"].astype(np.int64).to_numpy(), pa.int64()),
+        }
+    )

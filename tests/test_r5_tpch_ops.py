@@ -1,0 +1,84 @@
+"""Round-5 TPC-H-shaped compositions and event-time profiles — structural
+properties beyond the SQL parity that test_queries_oracle.py already
+parametrizes over every oracle (route-count invariance, threshold
+monotonicity, profile completeness)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from frontera_ray.ops import relational, temporal
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(res) -> pd.DataFrame:
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    return res.sort_values(list(res.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tpch_ops_route_invariant():
+    """n_routes is a pure partitioning knob — results identical at any
+    count (5 forces multi-key route groups)."""
+    assert _df(relational.returned_item_revenue(SF, n_routes=5)).equals(
+        _df(relational.returned_item_revenue(SF))
+    )
+    assert _df(relational.late_shipment_priority(SF, n_routes=5)).equals(
+        _df(relational.late_shipment_priority(SF))
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_large_volume_threshold_monotone():
+    """Raising the HAVING threshold can only shrink the winner set, and
+    every winner's quantity exceeds its threshold."""
+    lo = _df(relational.large_volume_orders(SF, qty_threshold=150.0, k=1000))
+    hi = _df(relational.large_volume_orders(SF, qty_threshold=250.0, k=1000))
+    assert len(hi) < len(lo)
+    assert (lo["total_qty_e2"] > 15000).all()
+    assert (hi["total_qty_e2"] > 25000).all()
+    assert set(hi["o_orderkey"]) <= set(lo["o_orderkey"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_promo_revenue_bounds():
+    out = relational.promo_revenue(SF).to_pandas()
+    p, t, s = (
+        int(out["promo_revenue_e4"][0]),
+        int(out["total_revenue_e4"][0]),
+        int(out["promo_share_e6"][0]),
+    )
+    assert 0 < p < t
+    assert s == (p * 1_000_000) // t
+    assert 0 < s < 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_profiles_complete_and_consistent():
+    """Both profiles partition the whole events table: their counts sum to
+    the table's row count, weekday value mass sums to the scaled total."""
+    events = pd.read_parquet(f"{SF}/events.parquet")
+    wk = temporal.weekday_activity(SF).to_pandas()
+    hr = temporal.hourly_load(SF).to_pandas()
+    assert int(wk["n"].sum()) == len(events)
+    assert int(hr["n"].sum()) == len(events)
+    assert wk["dow"].between(0, 6).all()
+    assert hr["hour"].between(0, 23).all()
+    exact_total = int(
+        np.floor(events["value"].to_numpy(np.float64) * 10_000 + 0.5).sum()
+    )
+    assert int(wk["value_e4"].sum()) == exact_total
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grace_days_monotone():
+    """A longer grace period can only reduce late counts."""
+    strict = _df(relational.late_shipment_priority(SF, grace_days=30))
+    lax = _df(relational.late_shipment_priority(SF, grace_days=365))
+    s = strict.set_index("o_orderpriority")["late_count"]
+    l = lax.set_index("o_orderpriority")["late_count"]
+    joined = pd.concat([s, l], axis=1, keys=["s", "l"]).fillna(0)
+    assert (joined["l"] <= joined["s"]).all()
+    assert joined["s"].sum() > joined["l"].sum()
