@@ -123,6 +123,19 @@ BENCH_QUERIES = [
     "bottomk_sample",
     "weighted_sample",
     "window_hopping",
+    # round-5 additions (tail-slot operators; totals again not comparable
+    # to earlier rounds — compare per-query)
+    "shipping_priority",
+    "local_supplier_volume",
+    "filter_funnel",
+    "trigram_lift",
+    "revenue_forecast",
+    "promo_revenue",
+    "returned_item_revenue",
+    "large_volume_orders",
+    "late_shipment_priority",
+    "weekday_activity",
+    "hourly_load",
 ]
 
 
