@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_priority": relational.late_shipment_priority,
         "weekday_activity": temporal.weekday_activity,
         "hourly_load": temporal.hourly_load,
+        "knn_graph": ann.knn_graph,
+        "rarity_scores": text.rarity_scores,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1225,6 +1227,35 @@ def oracle_sql() -> dict[str, str]:
         "hourly_load": (
             "SELECT event_type, hour(ts)::BIGINT AS hour, "
             "count(*)::BIGINT AS n FROM events GROUP BY event_type, hour"
+        ),
+        # k-NN graph by exact integer inner product within label blocks
+        # (per-row e4 quantization, the centroid_alignment convention);
+        # parallel unnest zips components positionally (r4 gotcha)
+        "knn_graph": (
+            "WITH comp AS (SELECT vec_id, label, "
+            "unnest(range(1, 65)) AS i, "
+            "CAST(floor(CAST(unnest(embedding) AS DOUBLE)*10000 + 0.5) "
+            "AS BIGINT) AS q FROM embeddings), "
+            "d AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+            "sum(a.q * b.q)::BIGINT AS dot_q "
+            "FROM comp a JOIN comp b ON a.i = b.i AND a.label = b.label "
+            "AND a.vec_id <> b.vec_id GROUP BY a.vec_id, b.vec_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dot_q DESC, neighbor_id) AS rnk FROM d) "
+            "SELECT vec_id, rnk::BIGINT AS rnk, neighbor_id, dot_q "
+            "FROM r WHERE rnk <= 3"
+        ),
+        # per-doc inverse-frequency mass: Σ floor(N/c) over token
+        # occurrences — pure integer division on both engines
+        "rarity_scores": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS w FROM documents), "
+            "c AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w), "
+            "tot AS (SELECT count(*)::BIGINT AS n FROM tok) "
+            "SELECT t.doc_id, count(*)::BIGINT AS n_tokens, "
+            "CAST(sum(tot.n // c.c) AS BIGINT) AS rarity "
+            "FROM tok t JOIN c ON t.w = c.w CROSS JOIN tot "
+            "GROUP BY t.doc_id"
         ),
         # with-replacement stratified sample: per-(type, draw) argmin of
         # the md5(event_id:draw) priority over an events × range(k) cross

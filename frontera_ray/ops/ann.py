@@ -577,3 +577,68 @@ def centroid_alignment(sf_dir: str):
             "dot_q": pa.array(out["dot_q"], pa.int64()),
         }
     )
+
+
+def knn_graph(sf_dir: str, k: int = 3, block: int = 4096):
+    """k-nearest-neighbor graph over the embedding corpus by EXACT integer
+    inner product (MIPS ranking), blocked by label (the blocking key
+    stands in for an IVF/LSH bucket, as in embedding_dup_pairs). Each
+    component is quantized per ROW (floor(v*1e4 + 0.5) — the repo's
+    integer-exact export rule), so dots are exact int64s and the ranking
+    is bit-identical on any engine: no float cosine in the compare path.
+    Tie-break: dot desc, then neighbor vec_id asc.
+
+    Distributed shape: one map_groups per label bucket; inside, a blocked
+    int64 matmul (≤ block × n per step) and a stable argsort whose tie
+    order is pinned by pre-sorting the bucket by vec_id. Per-vector
+    output is k rows — O(k·corpus) total, never the n² dot matrix.
+    int64 envelope: |dot| ≤ 64·(1e4·|v|max)² ≈ 6.4e9 per pair — safe."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+
+    def neighbors(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort")  # pins tie order
+        ids = g["vec_id"].to_numpy(np.int64)
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        q = np.floor(m * 10_000.0 + 0.5).astype(np.int64)
+        n = len(ids)
+        kk = min(k, n - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "rnk": pd.Series([], dtype=np.int64),
+                    "neighbor_id": pd.Series([], dtype=np.int64),
+                    "dot_q": pd.Series([], dtype=np.int64),
+                }
+            )
+        out_v, out_r, out_nb, out_d = [], [], [], []
+        for i0 in range(0, n, block):
+            a = q[i0 : i0 + block]
+            dots = a @ q.T  # exact int64
+            rows = dots.shape[0]
+            # exclude self: the diagonal of this block strip. min+1, not
+            # min: the sort negates dots, and -INT64_MIN overflows back
+            # to INT64_MIN, which would rank self FIRST instead of last
+            dots[np.arange(rows), np.arange(i0, i0 + rows)] = (
+                np.iinfo(np.int64).min + 1
+            )
+            # stable sort on -dot: ties fall back to column position,
+            # which IS neighbor_id ascending (bucket pre-sorted by id)
+            top = np.argsort(-dots, axis=1, kind="stable")[:, :kk]
+            for r in range(kk):
+                out_v.append(ids[i0 : i0 + rows])
+                out_r.append(np.full(rows, r + 1, np.int64))
+                out_nb.append(ids[top[:, r]])
+                out_d.append(dots[np.arange(rows), top[:, r]])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "rnk": np.concatenate(out_r),
+                "neighbor_id": np.concatenate(out_nb),
+                "dot_q": np.concatenate(out_d),
+            }
+        )
+
+    return ds.groupby("label").map_groups(neighbors, batch_format="pandas")

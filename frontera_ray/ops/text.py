@@ -1219,3 +1219,63 @@ def filter_funnel(sf_dir: str):
             "n_toklen_ok": pa.array(out["n_toklen_ok"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def rarity_scores(sf_dir: str):
+    """Per-document inverse-frequency mass: rarity = Σ_tokens floor(N / c)
+    where c is the token's corpus count and N the corpus token total — an
+    integer-exact tf·idf-flavored quality signal (rare-token-heavy
+    documents score high) with no float log anywhere. Two passes, like
+    vocab_prune: (1) per-batch token-count partials → small groupby sum →
+    the full count table. Partitioning assumption: the count table is the
+    corpus VOCABULARY, bounded by the Zipf envelope for natural text, so
+    it broadcasts via ray.put; an open-vocabulary corpus would instead
+    attach counts through the co-partitioned token join ngram_jaccard
+    uses. (2) map_batches: factorize each batch's tokens, ONE dict lookup
+    per DISTINCT token, np.add.reduceat for per-doc int sums."""
+    import ray
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(text.split(" "))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    n_total = int(counts["cnt"].sum())
+    cmap = dict(zip(counts["term"].tolist(), counts["cnt"].astype(int).tolist()))
+    ref = ray.put((n_total, cmap))
+
+    def score(t: pa.Table) -> pa.Table:
+        n_tot, cm = ray.get(ref)
+        texts = t["text"].to_pylist()
+        toks_per_doc = [tx.split(" ") for tx in texts]
+        lens = np.array([len(tk) for tk in toks_per_doc], np.int64)
+        flat = np.concatenate([np.asarray(tk, dtype=object) for tk in toks_per_doc])
+        codes, uniq = pd.factorize(flat)
+        contrib = np.array([n_tot // cm[w] for w in uniq], np.int64)[codes]
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        rarity = np.add.reduceat(contrib, offsets)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(lens, pa.int64()),
+                "rarity": pa.array(rarity.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
