@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "late_shipment_priority",
     "weekday_activity",
     "hourly_load",
+    "knn_graph",
+    "rarity_scores",
 ]
 
 
