@@ -355,7 +355,8 @@ def _neutral_fill(n: int, typ: pa.DataType) -> pa.Array:
 
 
 def hash_shuffle_join(
-    left_ds, right_ds, left_key: str, right_key: str, n_routes: int = 64
+    left_ds, right_ds, left_key: str, right_key: str, n_routes: int = 64,
+    post=None,
 ):
     """Generic co-partitioned hash join for two LARGE sides — the J1
     fallback SURVEY.md §2.4 names for when the small-side broadcast
@@ -371,7 +372,14 @@ def hash_shuffle_join(
     Inner join; key columns must be integer; non-key column names must be
     disjoint. Returns a Dataset with left columns then right columns
     (right key dropped). Both sides stream — nothing is collected to the
-    driver and neither side is replicated."""
+    driver and neither side is replicated.
+
+    `post` (optional, DataFrame → DataFrame) runs on each route group's
+    merged frame INSIDE the same map_groups. Because routing hashes the
+    join key, every key's rows are complete within its group, so a
+    per-key aggregate here is exact — consumers that would otherwise
+    follow the join with groupby(key).aggregate() can fold it into the
+    join and skip that second all-to-all entirely."""
     from ..strategy import splitmix64
 
     lschema, rschema = left_ds.schema(), right_ds.schema()
@@ -420,7 +428,8 @@ def hash_shuffle_join(
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["side"] == 0, lcols]
         r = g.loc[g["side"] == 1, rcols + ["jkey"]]
-        return l.merge(r, left_on=left_key, right_on="jkey").drop(columns=["jkey"])
+        out = l.merge(r, left_on=left_key, right_on="jkey").drop(columns=["jkey"])
+        return post(out) if post is not None else out
 
     return unioned.groupby("route").map_groups(merge, batch_format="pandas")
 
@@ -1164,16 +1173,18 @@ def shipping_priority(sf_dir: str, k: int = 10, n_routes: int = 64):
         g = df.groupby("l_orderkey", sort=False, as_index=False)["rev_e4"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    joined = hash_shuffle_join(
+    # fold the per-order sum INTO the join's route groups (post=): the
+    # join already co-partitions by l_orderkey, so each order's partials
+    # are complete within one group — no second all-to-all (round 5)
+    per_order = hash_shuffle_join(
         line.map_batches(line_partial, batch_format="pyarrow"),
         bld_orders.drop_columns(["o_custkey"]),
         "l_orderkey",
         "o_orderkey",
         n_routes=n_routes,
-    )
-
-    per_order = joined.groupby(["l_orderkey", "od_us", "o_orderpriority"]).aggregate(
-        Sum("rev_e4", alias_name="revenue_e4")
+        post=lambda df: df.groupby(
+            ["l_orderkey", "od_us", "o_orderpriority"], sort=False, as_index=False
+        )["rev_e4"].sum().rename(columns={"rev_e4": "revenue_e4"}),
     )
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -1591,9 +1602,9 @@ def large_volume_orders(sf_dir: str, qty_threshold: float = 200.0, k: int = 100,
     ordering customer's name, top-k by order totalprice. Shape:
 
       lineitem per-block COMBINER by l_orderkey (qty_e2 partial sums)
-      → groupby(orderkey) Sum → HAVING filter (survivors are the rare
-        tail — but still a Dataset, never assumed driver-small)
-      ⋈ orders on orderkey via hash_shuffle_join (orders streams)
+      ⋈ orders on orderkey via hash_shuffle_join (orders streams); the
+        per-order Sum + HAVING fold into the join's route groups
+        (post=) — one all-to-all, survivors stay a Dataset
       → per-block partial top-k by (totalprice desc, orderkey), driver
         merges ≤ k×blocks rows → names for the k winners via an
         is_in-filtered customer scan (k rows to the driver).
@@ -1616,13 +1627,6 @@ def large_volume_orders(sf_dir: str, qty_threshold: float = 200.0, k: int = 100,
         return pa.Table.from_pandas(g, preserve_index=False)
 
     thr = int(qty_threshold * 100)
-    per_order = (
-        line.map_batches(line_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("qty_e2", alias_name="total_qty_e2"))
-        .filter(lambda r: r["total_qty_e2"] > thr)
-    )
-
     orders = rd.read_parquet(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
@@ -1641,12 +1645,25 @@ def large_volume_orders(sf_dir: str, qty_threshold: float = 200.0, k: int = 100,
             }
         )
 
+    # the per-order Sum + HAVING ride the join's exchange (round 5):
+    # block-level qty partials join orders directly; post= sums per
+    # order inside the route group (complete there) and applies the
+    # threshold — one all-to-all instead of groupby.Sum THEN the join
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["l_orderkey", "o_custkey", "od_us", "totalprice_e2"],
+            sort=False,
+            as_index=False,
+        )["qty_e2"].sum().rename(columns={"qty_e2": "total_qty_e2"})
+        return g[g["total_qty_e2"] > thr]
+
     joined = hash_shuffle_join(
-        per_order,
+        line.map_batches(line_partial, batch_format="pyarrow"),
         orders.map_batches(ord_prep, batch_format="pyarrow"),
         "l_orderkey",
         "o_orderkey",
         n_routes=n_routes,
+        post=having,
     )
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -1697,14 +1714,12 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 90, n_routes: int = 64
     per-order MAX:
 
       lineitem per-block COMBINER: max(l_shipdate) per l_orderkey
-      → groupby(orderkey) Max (a shuffle of one int64 per order, the
-        smallest possible exchange for this predicate)
-      ⋈ orders(quarter window) on orderkey via hash_shuffle_join
+      ⋈ orders(quarter window) on orderkey via hash_shuffle_join, the
+        per-order Max folded into the join's route groups (post=) — one
+        int64 per (block, order) rides the ONLY exchange
       → vectorized late mask (max_ship_us > od_us + grace) per batch,
         per-block partial count by priority → bounded driver merge
         (≤ |priorities| rows per block)."""
-    from ray.data.aggregate import Max
-
     lo = pa.scalar(np.datetime64("1997-01-01", "us"))
     hi = pa.scalar(np.datetime64("1997-04-01", "us"))
     grace_us = np.int64(grace_days) * 86_400_000_000
@@ -1725,12 +1740,6 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 90, n_routes: int = 64
         )
         g = df.groupby("l_orderkey", sort=False, as_index=False)["ship_us"].max()
         return pa.Table.from_pandas(g, preserve_index=False)
-
-    per_order = (
-        line.map_batches(line_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Max("ship_us", alias_name="max_ship_us"))
-    )
 
     orders = rd.read_parquet(
         _t(sf_dir, "orders"),
@@ -1753,12 +1762,19 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 90, n_routes: int = 64
             }
         )
 
+    # the per-order Max rides the join's exchange (round 5): block-level
+    # ship_us partials join orders directly, and post= takes the max
+    # inside the route group (all of an order's partials land there) —
+    # one all-to-all instead of groupby(orderkey).Max THEN the join
     joined = hash_shuffle_join(
-        per_order,
+        line.map_batches(line_partial, batch_format="pyarrow"),
         orders.map_batches(ord_filter, batch_format="pyarrow"),
         "l_orderkey",
         "o_orderkey",
         n_routes=n_routes,
+        post=lambda df: df.groupby(
+            ["l_orderkey", "od_us", "o_orderpriority"], sort=False, as_index=False
+        )["ship_us"].max().rename(columns={"ship_us": "max_ship_us"}),
     )
 
     def late_partial(df: pd.DataFrame) -> pd.DataFrame:
