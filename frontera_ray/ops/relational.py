@@ -464,20 +464,24 @@ def shuffle_join(sf_dir: str):
     orders = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     )
-    joined = hash_shuffle_join(li, orders, "l_orderkey", "o_orderkey")
 
-    # combiner (A1 pattern): collapse each joined block to ≤5 partial rows
-    # so the final groupby shuffles O(groups × blocks), not O(rows) —
-    # measured: the row-level Aggregate here burned 140+ s of remote time
+    # combiner (A1 pattern) folded into the join's route groups (post=,
+    # round 5): each group emits ≤5 partial rows, so the full joined
+    # table never lands in the object store — measured: the row-level
+    # Aggregate here burned 140+ s of remote time
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("o_orderpriority", as_index=False).agg(
             n_items=("revenue_e4", "size"), revenue_e4=("revenue_e4", "sum")
         )
         return g
 
-    # ≤5 partial rows per block → a driver merge of the tiny frames beats
+    joined = hash_shuffle_join(
+        li, orders, "l_orderkey", "o_orderkey", post=partial
+    )
+
+    # ≤5 partial rows per group → a driver merge of the tiny frames beats
     # a second Dataset sort-shuffle (round-4, same move as star_join)
-    partials = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = joined.to_pandas()
     agg = partials.groupby("o_orderpriority", as_index=False).agg(
         n_items=("n_items", "sum"), sum_revenue_e4=("revenue_e4", "sum")
     )
@@ -1173,20 +1177,6 @@ def shipping_priority(sf_dir: str, k: int = 10, n_routes: int = 64):
         g = df.groupby("l_orderkey", sort=False, as_index=False)["rev_e4"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    # fold the per-order sum INTO the join's route groups (post=): the
-    # join already co-partitions by l_orderkey, so each order's partials
-    # are complete within one group — no second all-to-all (round 5)
-    per_order = hash_shuffle_join(
-        line.map_batches(line_partial, batch_format="pyarrow"),
-        bld_orders.drop_columns(["o_custkey"]),
-        "l_orderkey",
-        "o_orderkey",
-        n_routes=n_routes,
-        post=lambda df: df.groupby(
-            ["l_orderkey", "od_us", "o_orderpriority"], sort=False, as_index=False
-        )["rev_e4"].sum().rename(columns={"rev_e4": "revenue_e4"}),
-    )
-
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(
             ["revenue_e4", "od_us", "l_orderkey"],
@@ -1194,9 +1184,27 @@ def shipping_priority(sf_dir: str, k: int = 10, n_routes: int = 64):
             kind="mergesort",
         ).head(k)
 
-    # bounded: ≤ k rows per block reach the driver
-    parts = per_order.map_batches(topk, batch_format="pandas").to_pandas()
-    out = topk(parts).reset_index(drop=True)
+    # fold the per-order sum AND the partial top-k INTO the join's route
+    # groups (post=): the join co-partitions by l_orderkey, so each
+    # order's partials are complete within one group — no second
+    # all-to-all, and only ≤ k rows per group ever leave the group
+    def per_order_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["l_orderkey", "od_us", "o_orderpriority"], sort=False, as_index=False
+        )["rev_e4"].sum().rename(columns={"rev_e4": "revenue_e4"})
+        return topk(g)
+
+    per_order = hash_shuffle_join(
+        line.map_batches(line_partial, batch_format="pyarrow"),
+        bld_orders.drop_columns(["o_custkey"]),
+        "l_orderkey",
+        "o_orderkey",
+        n_routes=n_routes,
+        post=per_order_topk,
+    )
+
+    # bounded: ≤ k rows per route group reach the driver
+    out = topk(per_order.to_pandas()).reset_index(drop=True)
     return pa.table(
         {
             "l_orderkey": pa.array(out["l_orderkey"].to_numpy(np.int64), pa.int64()),
@@ -1307,14 +1315,6 @@ def local_supplier_volume(sf_dir: str, n_routes: int = 64):
         ].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    joined = hash_shuffle_join(
-        line.map_batches(line_partial, batch_format="pyarrow"),
-        cust_orders.drop_columns(["o_custkey"]),
-        "l_orderkey",
-        "o_orderkey",
-        n_routes=n_routes,
-    )
-
     def local_partial(df: pd.DataFrame) -> pd.DataFrame:
         snk, n_names, r_names = ray.get(lk_ref)
         sk = df["l_suppkey"].to_numpy(np.int64)
@@ -1348,7 +1348,18 @@ def local_supplier_volume(sf_dir: str, n_routes: int = 64):
             }
         )
 
-    partials = joined.map_batches(local_partial, batch_format="pandas").to_pandas()
+    # the local-supplier mask + per-nation partial ride the join's route
+    # groups (post=, round 5): only ≤ |nations| rows leave each group —
+    # the joined table never lands in the object store
+    joined = hash_shuffle_join(
+        line.map_batches(line_partial, batch_format="pyarrow"),
+        cust_orders.drop_columns(["o_custkey"]),
+        "l_orderkey",
+        "o_orderkey",
+        n_routes=n_routes,
+        post=local_partial,
+    )
+    partials = joined.to_pandas()
     agg = partials.groupby(["r_name", "n_name"], as_index=False).agg(
         revenue_e4=("revenue_e4", "sum")
     )
@@ -1535,22 +1546,25 @@ def returned_item_revenue(sf_dir: str, k: int = 20, n_routes: int = 64):
         g = df.groupby("l_orderkey", sort=False, as_index=False)["rev_e4"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False, as_index=False)["rev_e4"].sum()
+        return g.rename(columns={"rev_e4": "revenue_e4"})
+
+    # the per-cust partial rides the join's route groups (post=, round
+    # 5): the custkey re-key still needs its own exchange (different key
+    # than the join), but it now shuffles per-group partials, never the
+    # full joined table
     joined = hash_shuffle_join(
         line.map_batches(line_partial, batch_format="pyarrow"),
         orders.map_batches(ord_filter, batch_format="pyarrow"),
         "l_orderkey",
         "o_orderkey",
         n_routes=n_routes,
+        post=cust_partial,
     )
 
-    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("o_custkey", sort=False, as_index=False)["rev_e4"].sum()
-        return g.rename(columns={"rev_e4": "revenue_e4"})
-
-    per_cust = (
-        joined.map_batches(cust_partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("revenue_e4", alias_name="revenue_e4")
     )
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -1645,17 +1659,23 @@ def large_volume_orders(sf_dir: str, qty_threshold: float = 200.0, k: int = 100,
             }
         )
 
-    # the per-order Sum + HAVING ride the join's exchange (round 5):
-    # block-level qty partials join orders directly; post= sums per
-    # order inside the route group (complete there) and applies the
-    # threshold — one all-to-all instead of groupby.Sum THEN the join
-    def having(df: pd.DataFrame) -> pd.DataFrame:
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["totalprice_e2", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    # the per-order Sum + HAVING + partial top-k all ride the join's
+    # route groups (round 5): block-level qty partials join orders
+    # directly; post= sums per order inside the group (complete there),
+    # applies the threshold, and keeps only its local top-k — one
+    # all-to-all, ≤ k rows ever leave each group
+    def having_topk(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(
             ["l_orderkey", "o_custkey", "od_us", "totalprice_e2"],
             sort=False,
             as_index=False,
         )["qty_e2"].sum().rename(columns={"qty_e2": "total_qty_e2"})
-        return g[g["total_qty_e2"] > thr]
+        return topk(g[g["total_qty_e2"] > thr])
 
     joined = hash_shuffle_join(
         line.map_batches(line_partial, batch_format="pyarrow"),
@@ -1663,18 +1683,11 @@ def large_volume_orders(sf_dir: str, qty_threshold: float = 200.0, k: int = 100,
         "l_orderkey",
         "o_orderkey",
         n_routes=n_routes,
-        post=having,
+        post=having_topk,
     )
 
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
-            ["totalprice_e2", "l_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-
-    # bounded: ≤ k rows per block reach the driver
-    winners = topk(
-        joined.map_batches(topk, batch_format="pandas").to_pandas()
-    ).reset_index(drop=True)
+    # bounded: ≤ k rows per route group reach the driver
+    winners = topk(joined.to_pandas()).reset_index(drop=True)
 
     want = set(winners["o_custkey"].astype(np.int64).tolist())
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
@@ -1762,35 +1775,38 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 90, n_routes: int = 64
             }
         )
 
-    # the per-order Max rides the join's exchange (round 5): block-level
-    # ship_us partials join orders directly, and post= takes the max
-    # inside the route group (all of an order's partials land there) —
-    # one all-to-all instead of groupby(orderkey).Max THEN the join
+    # the per-order Max AND the late-count partial both ride the join's
+    # route groups (round 5): block-level ship_us partials join orders
+    # directly; post= takes the per-order max inside the group (all of an
+    # order's partials land there), applies the late mask, and collapses
+    # to per-priority counts — one all-to-all total, and only
+    # ≤ |priorities| rows ever leave each group
+    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["l_orderkey", "od_us", "o_orderpriority"], sort=False, as_index=False
+        )["ship_us"].max()
+        late = g["ship_us"].to_numpy(np.int64) > (
+            g["od_us"].to_numpy(np.int64) + grace_us
+        )
+        sub = pd.DataFrame({"o_orderpriority": g["o_orderpriority"], "late": late})
+        out = sub.groupby("o_orderpriority", sort=False, as_index=False).agg(
+            late_count=("late", "sum")
+        )
+        out = out[out["late_count"] > 0]
+        out["late_count"] = out["late_count"].astype(np.int64)
+        return out
+
     joined = hash_shuffle_join(
         line.map_batches(line_partial, batch_format="pyarrow"),
         orders.map_batches(ord_filter, batch_format="pyarrow"),
         "l_orderkey",
         "o_orderkey",
         n_routes=n_routes,
-        post=lambda df: df.groupby(
-            ["l_orderkey", "od_us", "o_orderpriority"], sort=False, as_index=False
-        )["ship_us"].max().rename(columns={"ship_us": "max_ship_us"}),
+        post=late_partial,
     )
 
-    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
-        late = df["max_ship_us"].to_numpy(np.int64) > (
-            df["od_us"].to_numpy(np.int64) + grace_us
-        )
-        sub = pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "late": late})
-        g = sub.groupby("o_orderpriority", sort=False, as_index=False).agg(
-            late_count=("late", "sum")
-        )
-        g = g[g["late_count"] > 0]
-        g["late_count"] = g["late_count"].astype(np.int64)
-        return g
-
-    # bounded: ≤ |priorities| rows per block reach the driver
-    parts = joined.map_batches(late_partial, batch_format="pandas").to_pandas()
+    # bounded: ≤ |priorities| rows per route group reach the driver
+    parts = joined.to_pandas()
     agg = parts.groupby("o_orderpriority", as_index=False)["late_count"].sum()
     agg = agg.sort_values("o_orderpriority", kind="mergesort").reset_index(drop=True)
     return pa.table(
