@@ -1073,8 +1073,6 @@ def _cross_source_ds_path(sf_dir: str, threshold: float, empty: pa.Table):
         ),
         batch_format="pyarrow",
     )
-    j2 = hash_shuffle_join(j1, docs("src_b"), "doc_b", "doc_id")
-
     def part(df: pd.DataFrame) -> pd.DataFrame:
         lo = df["src_a"].where(df["src_a"] <= df["src_b"], df["src_b"])
         hi = df["src_b"].where(df["src_a"] <= df["src_b"], df["src_a"])
@@ -1085,8 +1083,12 @@ def _cross_source_ds_path(sf_dir: str, threshold: float, empty: pa.Table):
             .rename(columns={"size": "n_pairs"})
         )
 
-    # bounded driver merge: ≤ sources² rows per block
-    parts = j2.map_batches(part, batch_format="pandas").to_pandas()
+    # the matrix partial rides the second join's route groups (post=,
+    # round 5): ≤ sources² rows leave each group, never the joined pairs
+    j2 = hash_shuffle_join(j1, docs("src_b"), "doc_b", "doc_id", post=part)
+
+    # bounded driver merge: ≤ sources² rows per group
+    parts = j2.to_pandas()
     if parts.empty:
         return empty
     out = (

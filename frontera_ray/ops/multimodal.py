@@ -208,8 +208,6 @@ def media_pipeline(sf_dir: str):
     reaches the driver — and the frame counts are joined distributed via
     the generic co-partitioned hash_shuffle_join. The driver only sees
     the final scalar summary (one row per media, no vector columns)."""
-    from ray.data.aggregate import Count
-
     from .relational import hash_shuffle_join
 
     media = documents_as_media(sf_dir).materialize()
@@ -238,8 +236,35 @@ def media_pipeline(sf_dir: str):
         batch_format="pyarrow",
         batch_size=256,
     )
-    n_frames = frames.groupby("media_id").aggregate(Count(alias_name="n_frames"))
-    joined = hash_shuffle_join(summary, n_frames, "media_id", "media_id")
+
+    # round 5: per-batch count COMBINER + the final Count folded into the
+    # join's route groups (post=) — the per-frame rows collapse to one
+    # partial per (batch, media) before any exchange, and the old
+    # groupby().aggregate(Count) all-to-all disappears entirely
+    def frame_partial(t: pa.Table) -> pa.Table:
+        ids, counts = np.unique(
+            t["media_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "fm_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "nf": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def sum_counts(df):
+        agg = {c: "first" for c in df.columns if c not in ("media_id", "nf")}
+        agg["nf"] = "sum"
+        g = df.groupby("media_id", sort=False, as_index=False).agg(agg)
+        return g.rename(columns={"nf": "n_frames"})
+
+    joined = hash_shuffle_join(
+        summary,
+        frames.map_batches(frame_partial, batch_format="pyarrow"),
+        "media_id",
+        "fm_id",
+        post=sum_counts,
+    )
     # bounded collect: one scalar row per media (the op's return value)
     out = joined.to_pandas()
     return pa.Table.from_pandas(
