@@ -379,7 +379,16 @@ def hash_shuffle_join(
     join key, every key's rows are complete within its group, so a
     per-key aggregate here is exact — consumers that would otherwise
     follow the join with groupby(key).aggregate() can fold it into the
-    join and skip that second all-to-all entirely."""
+    join and skip that second all-to-all entirely.
+
+    Partitioning envelope (SIZE, not just cardinality): map_groups
+    materializes one route group as one pandas frame, i.e. ~1/n_routes
+    of (left + right) bytes per task. The default 64 suits the test
+    scales; at production scale size n_routes ≈ total_join_bytes /
+    (256–512 MB) so a group fits a worker heap — routing is
+    splitmix64-uniform, so groups balance; only per-KEY skew (one hot
+    join key) needs salting upstream. n_routes is a pure partitioning
+    knob: results are identical at any value (tested)."""
     from ..strategy import splitmix64
 
     lschema, rschema = left_ds.schema(), right_ds.schema()

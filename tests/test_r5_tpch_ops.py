@@ -28,6 +28,14 @@ def test_tpch_ops_route_invariant():
     assert _df(relational.late_shipment_priority(SF, n_routes=5)).equals(
         _df(relational.late_shipment_priority(SF))
     )
+    # the post= folds (per-group top-k / HAVING) must stay invariant to
+    # how keys distribute over route groups
+    assert _df(relational.shipping_priority(SF, n_routes=5)).equals(
+        _df(relational.shipping_priority(SF))
+    )
+    assert _df(relational.large_volume_orders(SF, n_routes=5)).equals(
+        _df(relational.large_volume_orders(SF))
+    )
 
 
 @pytest.mark.usefixtures("ray_session")
