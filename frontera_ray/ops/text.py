@@ -115,23 +115,55 @@ def quality_scores(sf_dir: str):
 
 
 class LangIdStage:
-    """Actor-pool language ID (T6 stateful-stage pattern: marker sets built
-    once per actor in __init__; batches scored vectorized-ish)."""
+    """Actor-pool language ID (T6 stateful-stage pattern: marker arrays
+    built once per actor in __init__; batches scored fully vectorized —
+    round 5: Arrow split/lower + per-lang index_in + distinct
+    (doc, marker) count replaces the per-document Python loop; the
+    first-max argmax reproduces the loop's tie rule exactly: equal
+    counts keep the earlier lang in sorted order, all-zero → 'unk')."""
+
+    HEAD = 200  # only the first HEAD tokens of a doc vote
 
     def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.langs = sorted(_LANG_MARKERS)
+        self.marker_arrays = {
+            lang: pa.array(sorted(_LANG_MARKERS[lang]), pa.string())
+            for lang in self.langs
+        }
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = []
-        for text in t["text"].to_pylist():
-            words = set(text.lower().split()[:200])
-            best, best_n = "unk", 0
-            for lang, marks in sorted(self.markers.items()):
-                n = len(words & marks)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
-        return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+        col = pc.split_pattern(pc.utf8_lower(t["text"]), " ").combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        n_docs = len(lens)
+        flat = col.flatten()
+        # position-within-doc < HEAD mask, no Python loop
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(len(flat)) - np.repeat(starts, lens)
+        head = pos < self.HEAD
+        flat = flat.filter(pa.array(head))
+        doc_idx = np.repeat(np.arange(n_docs), lens)[head]
+        counts = np.zeros((len(self.langs), n_docs), np.int64)
+        for li, lang in enumerate(self.langs):
+            mid = pc.index_in(flat, value_set=self.marker_arrays[lang]).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            sel = ~np.isnan(mid)
+            if not sel.any():
+                continue
+            # DISTINCT matched markers per doc (set-intersection size):
+            # unique (doc, marker) pairs, then count pairs per doc
+            key = doc_idx[sel] * np.int64(64) + mid[sel].astype(np.int64)
+            uk = np.unique(key)
+            counts[li] = np.bincount(uk >> 6, minlength=n_docs)
+        best = np.argmax(counts, axis=0)  # first max wins, like the loop
+        names = np.array(self.langs + ["unk"], dtype=object)
+        best = np.where(counts.max(axis=0) == 0, len(self.langs), best)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_pred": pa.array(names[best], pa.string()),
+            }
+        )
 
 
 def lang_id(sf_dir: str):
