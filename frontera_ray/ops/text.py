@@ -81,17 +81,23 @@ def quality_scores(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def score(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
         n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
         n_chars = pc.utf8_length(t["text"])
-        stop_counts = []
-        for lst in toks.to_pylist():
-            lst = lst or []
-            stop_counts.append(sum(1 for w in lst if w in _STOPWORDS))
+        # stopword OCCURRENCES per doc, loop-free (round 5): flat is_in
+        # mask summed per doc via bincount over repeated doc indices
+        lens = n_tokens.to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(
+            toks.flatten(), value_set=pa.array(list(_STOPWORDS), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        stop_counts = np.bincount(
+            doc_idx, weights=is_stop, minlength=len(lens)
+        ).astype(np.int64)
         n_tok_np = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
         # scaled-int export (floor(x*1e6 + 0.5)) — see relational.scale_int
         stop_ratio = np.floor(
-            np.array(stop_counts, dtype=np.float64)
+            stop_counts.astype(np.float64)
             / np.maximum(n_tok_np, 1.0)
             * 1_000_000
             + 0.5
@@ -387,20 +393,33 @@ def vocab_prune(sf_dir: str, min_count: int = 100):
         )
         .to_pandas()
     )
-    keep_ref = ray.put(frozenset(vocab["term"].tolist()))
+    keep_ref = ray.put(pa.array(sorted(vocab["term"].tolist()), pa.string()))
 
     def prune(t: pa.Table) -> pa.Table:
+        # loop-free rewrite (round 5): flat is_in mask → if_else '<unk>'
+        # substitution → rebuild the list layout → binary_join; n_unk is
+        # a bincount of the negated mask per doc
         keep = ray.get(keep_ref)
-        texts, n_unk = [], []
-        for text in t["text"].to_pylist():
-            toks = text.split(" ")
-            kept = [w in keep for w in toks]
-            texts.append(" ".join(w if ok else "<unk>" for w, ok in zip(toks, kept)))
-            n_unk.append(len(toks) - sum(kept))
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        ok = pc.is_in(flat, value_set=keep)
+        replaced = pc.if_else(ok, flat, pa.scalar("<unk>", pa.string()))
+        offs = pa.array(
+            np.concatenate([[0], np.cumsum(lens)]).astype(np.int32), pa.int32()
+        )
+        pruned = pc.binary_join(
+            pa.ListArray.from_arrays(offs, replaced), pa.scalar(" ")
+        )
+        n_unk = np.bincount(
+            np.repeat(np.arange(len(lens)), lens),
+            weights=pc.invert(ok).to_numpy(zero_copy_only=False),
+            minlength=len(lens),
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "text_pruned": pa.array(texts, pa.string()),
+                "text_pruned": pruned,
                 "n_unk": pa.array(n_unk, pa.int64()),
             }
         )
