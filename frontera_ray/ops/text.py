@@ -240,33 +240,50 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
 
     def partials(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        tf: Counter = Counter()
-        dfc: Counter = Counter()
-        for doc_id, text, lang in zip(
-            t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
-        ):
-            toks = text.split(" ")
-            tf.update((lang, w) for w in toks)
-            dfc.update(set(toks))
-        rows_l, rows_t, rows_n, rows_d = [], [], [], []
-        for (lang, w), c in tf.items():
-            rows_l.append(lang)
-            rows_t.append(w)
-            rows_n.append(c)
-            rows_d.append(0)
-        for w, c in dfc.items():
-            rows_l.append("")  # df partial rows carry a neutral lang
-            rows_t.append(w)
-            rows_n.append(0)
-            rows_d.append(c)
+        # loop-free (round 5): flat token array + pandas hash-groupbys
+        # replace the per-document Counter updates. tf = (lang, term)
+        # occurrence counts; df = per-batch distinct (doc, term) pairs
+        # (each doc lives in exactly one batch, so batch-distinct pairs
+        # are globally distinct). Partial row order is irrelevant — both
+        # streams feed a groupby.
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        term = toks.flatten().to_pandas().to_numpy()
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        lang = np.repeat(
+            np.asarray(t["lang"].to_pylist(), dtype=object), lens
+        )
+        tf = (
+            pd.DataFrame({"lang": lang, "term": term})
+            .groupby(["lang", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        dfc = (
+            pd.DataFrame({"doc": doc_idx, "term": term})
+            .drop_duplicates()
+            .groupby("term", sort=False)
+            .size()
+            .reset_index(name="df")
+        )
         return pa.table(
             {
-                "lang": pa.array(rows_l, pa.string()),
-                "term": pa.array(rows_t, pa.string()),
-                "tf": pa.array(rows_n, pa.int64()),
-                "df": pa.array(rows_d, pa.int64()),
+                "lang": pa.array(
+                    np.concatenate([tf["lang"].to_numpy(), np.full(len(dfc), "", object)]),
+                    pa.string(),
+                ),
+                "term": pa.array(
+                    np.concatenate([tf["term"].to_numpy(), dfc["term"].to_numpy()]),
+                    pa.string(),
+                ),
+                "tf": pa.array(
+                    np.concatenate([tf["tf"].to_numpy(np.int64), np.zeros(len(dfc), np.int64)]),
+                    pa.int64(),
+                ),
+                "df": pa.array(
+                    np.concatenate([np.zeros(len(tf), np.int64), dfc["df"].to_numpy(np.int64)]),
+                    pa.int64(),
+                ),
             }
         )
 
