@@ -460,26 +460,35 @@ def bm25_topk(
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     tset = tuple(sorted(terms))
 
-    def stat_partials(t: pa.Table) -> pa.Table:
-        from collections import Counter
+    tset_arr = pa.array(list(tset), pa.string())
 
-        dfc: Counter = Counter()
-        sum_dl = 0
-        for text in t["text"].to_pylist():
-            toks = text.split(" ")
-            sum_dl += len(toks)
-            present = set(toks)
-            dfc.update(w for w in tset if w in present)
-        rows_t = [""] + [w for w in tset]
-        rows_df = [0] + [dfc.get(w, 0) for w in tset]
-        rows_n = [t.num_rows] + [0] * len(tset)
-        rows_dl = [sum_dl] + [0] * len(tset)
+    def _flat(t: pa.Table):
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        mid = pc.index_in(toks.flatten(), value_set=tset_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        sel = ~np.isnan(mid)
+        return lens, doc_idx[sel], mid[sel].astype(np.int64)
+
+    def stat_partials(t: pa.Table) -> pa.Table:
+        # loop-free (round 5): df per term = distinct (doc, term) pairs
+        # via np.unique over combined keys, like LangIdStage
+        lens, docs, mids = _flat(t)
+        uk = np.unique(docs * np.int64(len(tset)) + mids)
+        dfv = np.bincount(uk % len(tset), minlength=len(tset)).astype(np.int64)
+        rows_t = [""] + list(tset)
         return pa.table(
             {
                 "term": pa.array(rows_t, pa.string()),
-                "df": pa.array(rows_df, pa.int64()),
-                "n_docs": pa.array(rows_n, pa.int64()),
-                "sum_dl": pa.array(rows_dl, pa.int64()),
+                "df": pa.array(np.concatenate([[0], dfv]), pa.int64()),
+                "n_docs": pa.array(
+                    [t.num_rows] + [0] * len(tset), pa.int64()
+                ),
+                "sum_dl": pa.array(
+                    [int(lens.sum())] + [0] * len(tset), pa.int64()
+                ),
             }
         )
 
@@ -497,29 +506,38 @@ def bm25_topk(
     avgdl = (float(stats["sum_dl"].sum()) * 1.0) / float(n_docs)
     df_of = dict(zip(stats["term"], stats["df"]))
 
-    def score(t: pa.Table) -> pa.Table:
-        from collections import Counter
+    idf_vec = np.array(
+        [
+            (n_docs - int(df_of[w]) + 0.5) / (int(df_of[w]) + 0.5)
+            for w in tset
+        ],
+        np.float64,
+    )
 
-        ids, scores = [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = text.split(" ")
-            dl = float(len(toks))
-            c = Counter(toks)
-            total = 0
-            for w in tset:
-                tf = float(c.get(w, 0))
-                if tf == 0.0:
-                    continue
-                den = tf + 1.5 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)
-                idf = (n_docs - int(df_of[w]) + 0.5) / (int(df_of[w]) + 0.5)
-                total += int(np.floor(tf * 2.5 / den * idf * 1_000_000.0 + 0.5))
-            if total > 0:
-                ids.append(doc_id)
-                scores.append(total)
+    def score(t: pa.Table) -> pa.Table:
+        # loop-free (round 5): tf[doc, term] via one bincount over
+        # combined (doc, term) keys; the float expression keeps the
+        # loop's exact IEEE op order (tf*2.5/den*idf*1e6, left-assoc) so
+        # the int export is bit-identical to the old per-doc form
+        lens, docs, mids = _flat(t)
+        T = len(tset)
+        tf = np.bincount(docs * np.int64(T) + mids, minlength=len(lens) * T)
+        tf = tf.reshape(len(lens), T).astype(np.float64)
+        dl = lens.astype(np.float64)
+        den = tf + 1.5 * ((1.0 - 0.75) + (0.75 * dl)[:, None] / avgdl)
+        contrib = np.floor(
+            tf * 2.5 / den * idf_vec[None, :] * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        contrib[tf == 0.0] = 0
+        total = contrib.sum(axis=1)
+        keep = total > 0
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "score_e6": pa.array(scores, pa.int64()),
+                "doc_id": pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False)[keep].astype(np.int64),
+                    pa.int64(),
+                ),
+                "score_e6": pa.array(total[keep], pa.int64()),
             }
         )
 
