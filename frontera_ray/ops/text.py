@@ -603,21 +603,43 @@ def contamination_check(sf_dir: str, n_bench: int = 5, n: int = 3):
     bench_ref = ray.put(frozenset(bench))
 
     def check(t: pa.Table) -> pa.Table:
+        # loop-free (round 5, the trigram_lift window trick): flat token
+        # array + doc-boundary keep mask → vectorized gram strings →
+        # distinct (doc, gram) via drop_duplicates → isin(broadcast set)
         bg = ray.get(bench_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_pandas().to_numpy()
         ids, n_g, n_hit, frac = [], [], [], []
-        for doc_id, text in zip(
-            t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pylist()
-        ):
-            if doc_id < n_bench:
-                continue
-            g = grams_of(text)
-            if not g:
-                continue
-            h = len(g & bg)
-            ids.append(int(doc_id))
-            n_g.append(len(g))
-            n_hit.append(h)
-            frac.append(int(np.floor(h * 1_000_000.0 / len(g) + 0.5)))
+        if len(flat) >= n:
+            keep = np.ones(len(flat) - (n - 1), dtype=bool)
+            ends = np.cumsum(lens)
+            b = ends[:-1]
+            for d in range(1, n):
+                sel = b - d
+                keep[sel[(sel >= 0) & (sel < len(keep))]] = False
+            doc_of = np.repeat(np.arange(len(lens)), lens)[: len(keep)]
+            gram = pd.Series(flat[: len(keep)][keep])
+            for d in range(1, n):
+                gram = gram + " " + pd.Series(flat[d : len(keep) + d][keep])
+            df = pd.DataFrame(
+                {"doc": doc_of[keep], "gram": gram.to_numpy()}
+            ).drop_duplicates()
+            df = df[doc_ids[df["doc"]] >= n_bench]
+            if len(df):
+                hit = df["gram"].isin(bg)
+                agg = pd.DataFrame({"doc": df["doc"], "hit": hit}).groupby(
+                    "doc", sort=True
+                ).agg(n_g=("hit", "size"), n_hit=("hit", "sum"))
+                ids = doc_ids[agg.index.to_numpy()].tolist()
+                n_g = agg["n_g"].astype(np.int64).tolist()
+                n_hit = agg["n_hit"].astype(np.int64).tolist()
+                frac = np.floor(
+                    agg["n_hit"].to_numpy(np.float64) * 1_000_000.0
+                    / agg["n_g"].to_numpy(np.float64)
+                    + 0.5
+                ).astype(np.int64).tolist()
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
