@@ -184,41 +184,66 @@ def repetition_scores(sf_dir: str):
     recipe, §A1.1): per document, the fraction of word-bigrams taken by the
     single most frequent bigram and the fraction of word-trigram
     occurrences that are duplicates — high values flag boilerplate /
-    machine-generated text. Per-doc Counter work is inherently per-row;
-    it runs distributed inside map_batches. Scaled-int export
-    (floor(x*1e6+0.5)) keeps the DuckDB mirror value-exact."""
+    machine-generated text. Round 5: loop-free — factorized token codes,
+    doc-boundary window masks and two int-keyed pandas groupbys replace
+    the per-document Counters; the float export keeps the loop's exact
+    association ((mx * 1e6) / nb, NOT (mx / nb) * 1e6 — they differ by
+    one ulp on real inputs and floor(+0.5) amplifies that to an
+    off-by-one int vs the DuckDB mirror)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
-    def rep(t: pa.Table) -> pa.Table:
-        from collections import Counter
+    def _win(codes, doc_idx, ends, n):
+        """(doc, code1..codeN) windows not crossing doc boundaries."""
+        keep = np.ones(len(codes) - (n - 1), dtype=bool)
+        b = ends[:-1]
+        for d in range(1, n):
+            sel = b - d
+            keep[sel[(sel >= 0) & (sel < len(keep))]] = False
+        cols = {"doc": doc_idx[: len(keep)][keep]}
+        for d in range(n):
+            cols[f"c{d}"] = codes[d : len(keep) + d][keep]
+        return pd.DataFrame(cols)
 
-        n_bi, top_bi, dup_tri = [], [], []
-        for text in t["text"].to_pylist():
-            toks = text.split(" ")
-            bi = Counter(
-                " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+    def rep(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        codes = pd.factorize(toks.flatten().to_pandas().to_numpy())[0].astype(
+            np.int64
+        )
+        n_docs = len(lens)
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        ends = np.cumsum(lens)
+        nb = np.maximum(lens.astype(np.int64) - 1, 0)
+        nt = np.maximum(lens.astype(np.int64) - 2, 0)
+        top_bi = np.zeros(n_docs, np.int64)
+        dup_tri = np.zeros(n_docs, np.int64)
+        if len(codes) >= 2:
+            cnt = (
+                _win(codes, doc_idx, ends, 2)
+                .groupby(["doc", "c0", "c1"], sort=False)
+                .size()
             )
-            tri = Counter(
-                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            mx = cnt.groupby(level=0).max()
+            d = mx.index.to_numpy()
+            top_bi[d] = np.floor(
+                mx.to_numpy(np.float64) * 1_000_000.0 / nb[d] + 0.5
+            ).astype(np.int64)
+        if len(codes) >= 3:
+            cnt3 = (
+                _win(codes, doc_idx, ends, 3)
+                .groupby(["doc", "c0", "c1", "c2"], sort=False)
+                .size()
             )
-            nb = sum(bi.values())
-            nt = sum(tri.values())
-            n_bi.append(nb)
-            # float association must match the SQL mirror exactly:
-            # (mx * 1e6) / nb, NOT (mx / nb) * 1e6 — the two differ by
-            # one ulp for real inputs (e.g. mx=41, nb=640) and the
-            # floor(+0.5) export amplifies that to an off-by-one int
-            top_bi.append(
-                int(np.floor(max(bi.values()) * 1_000_000.0 / nb + 0.5)) if nb else 0
-            )
-            dup = sum(c for c in tri.values() if c > 1)
-            dup_tri.append(
-                int(np.floor(dup * 1_000_000.0 / nt + 0.5)) if nt else 0
-            )
+            dup = cnt3[cnt3 > 1].groupby(level=0).sum()
+            if len(dup):
+                d = dup.index.to_numpy()
+                dup_tri[d] = np.floor(
+                    dup.to_numpy(np.float64) * 1_000_000.0 / nt[d] + 0.5
+                ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_bigrams": pa.array(n_bi, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
                 "top_bigram_frac_e6": pa.array(top_bi, pa.int64()),
                 "dup_trigram_frac_e6": pa.array(dup_tri, pa.int64()),
             }
