@@ -1060,7 +1060,14 @@ def _cross_source_ds_path(sf_dir: str, threshold: float, empty: pa.Table):
             batch_format="pyarrow",
         )
 
-    j1 = hash_shuffle_join(pairs, docs("src_a"), "doc_a", "doc_id")
+    from .relational import auto_routes
+
+    # pairs ≤ verified-candidate cardinality (≪ docs bytes); both joins'
+    # group sizes are governed by the docs key/source scan
+    nr = auto_routes(
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    )
+    j1 = hash_shuffle_join(pairs, docs("src_a"), "doc_a", "doc_id", n_routes=nr)
     # re-pin Arrow types: map_groups(pandas) blocks report pandas dtypes,
     # which the second join's neutral-fill machinery can't type
     j1 = j1.map_batches(
@@ -1085,7 +1092,8 @@ def _cross_source_ds_path(sf_dir: str, threshold: float, empty: pa.Table):
 
     # the matrix partial rides the second join's route groups (post=,
     # round 5): ≤ sources² rows leave each group, never the joined pairs
-    j2 = hash_shuffle_join(j1, docs("src_b"), "doc_b", "doc_id", post=part)
+    j2 = hash_shuffle_join(j1, docs("src_b"), "doc_b", "doc_id", n_routes=nr,
+                           post=part)
 
     # bounded driver merge: ≤ sources² rows per group
     parts = j2.to_pandas()
@@ -1159,16 +1167,27 @@ def minhash_cluster_reps(
     )
 
 
-_GRAPH_ROUTES = 64  # bounded map_groups cardinality for graph message
-                    # passes (same discipline as _LSH_ROUTE_GROUPS: never
-                    # one Python group call per node)
+def _graph_routes(sf_dir: str, table: str) -> int:
+    """Route count for the graph message passes, sized from the pair
+    graph's SOURCE scan (relational.auto_routes' 256-512 MB/group
+    envelope). The edge list is ≤ a small multiple of the verified-pair
+    count, which the unfiltered source bytes upper-bound, so this is
+    upper-bound-safe: at test scale it lands at the parallelism floor
+    (16 — measured faster than 64: fewer fixed-overhead map_groups
+    tasks per iteration), at 100 TB in the thousands. Route count never
+    changes results (invariance tested)."""
+    from .relational import auto_routes
+
+    return auto_routes(rd.read_parquet(_t(sf_dir, table)))
+
+
 
 
 def cluster_reps_labelprop(
     sf_dir: str,
     threshold: float = 0.5,
     max_iters: int = 32,
-    n_routes: int = _GRAPH_ROUTES,
+    n_routes: int | None = None,
 ):
     """Distributed min-label propagation over the LSH pair graph — the
     scale-out alternative to `minhash_cluster_reps`' driver union-find,
@@ -1206,13 +1225,15 @@ def _labelprop_labels_ds(
     sf_dir: str,
     threshold: float = 0.5,
     max_iters: int = 32,
-    n_routes: int = _GRAPH_ROUTES,
+    n_routes: int | None = None,
 ):
     """Converged (node, label) Dataset of the min-label propagation —
     the Dataset-end-to-end core of `cluster_reps_labelprop`, exposed so
     the pairs_limit auto-switch paths (cluster_size_histogram) can keep
     aggregating distributed instead of collecting labels first. Returns
     None when the pair graph is empty."""
+    if n_routes is None:
+        n_routes = _graph_routes(sf_dir, "documents")
     pairs_ds = minhash_lsh_pairs_ds(sf_dir, threshold=threshold)
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -1301,7 +1322,7 @@ def pagerank_pairs(
     sf_dir: str,
     threshold: float = 0.4,
     iters: int = 3,
-    n_routes: int = _GRAPH_ROUTES,
+    n_routes: int | None = None,
 ):
     """Fixed-point PageRank over the embedding near-dup pair graph
     (damping 0.85, `iters` full power iterations) — the iterative
@@ -1318,6 +1339,8 @@ def pagerank_pairs(
     partial Sum per destination before the global Sum aggregate."""
     from ray.data.aggregate import Sum
 
+    if n_routes is None:
+        n_routes = _graph_routes(sf_dir, "embeddings")
     pairs_ds = embedding_dup_pairs_ds(sf_dir, threshold)
 
     def to_edges(t: pa.Table) -> pa.Table:

@@ -258,11 +258,16 @@ def media_pipeline(sf_dir: str):
         g = df.groupby("media_id", sort=False, as_index=False).agg(agg)
         return g.rename(columns={"nf": "n_frames"})
 
+    from .relational import auto_routes
+
     joined = hash_shuffle_join(
         summary,
         frames.map_batches(frame_partial, batch_format="pyarrow"),
         "media_id",
         "fm_id",
+        # media is materialized above, so size_bytes() is free cached
+        # metadata; decoded frames expand payload bytes ~3x worst case
+        n_routes=auto_routes(media, media, media),
         post=sum_counts,
     )
     # bounded collect: one scalar row per media (the op's return value)

@@ -123,7 +123,7 @@ def hash_join_agg(sf_dir: str, broadcast_limit: int | None = None):
     if broadcast_limit is not None and len(dim) > broadcast_limit:
         dim_ds = rd.from_arrow(pa.Table.from_pandas(dim, preserve_index=False))
         joined = hash_shuffle_join(
-            ds, dim_ds, "o_custkey", "c_custkey"
+            ds, dim_ds, "o_custkey", "c_custkey", n_routes=auto_routes(ds, dim_ds)
         ).select_columns(["n_name", "o_totalprice"])
     else:
         dim_ref = ray.put(dim)
@@ -354,6 +354,39 @@ def _neutral_fill(n: int, typ: pa.DataType) -> pa.Array:
     return pa.nulls(n, typ)
 
 
+_ROUTE_TARGET_BYTES = 384 << 20  # mid of the 256-512 MB/group envelope
+_ROUTE_MIN = 16  # parallelism floor so the map side never serializes
+_ROUTE_MAX = 65536  # sanity cap; 100 TB / 384 MB ≈ 2.7e5 would exceed it
+# only with inputs far past the design point
+
+
+def auto_routes(
+    *source_datasets,
+    lo: int = _ROUTE_MIN,
+    hi: int = _ROUTE_MAX,
+    target_bytes: int = _ROUTE_TARGET_BYTES,
+) -> int:
+    """Size a co-partitioned exchange's route count from its SOURCE
+    scans' parquet metadata — `Dataset.size_bytes()` on a `read_parquet`
+    root is a free in-memory estimate (no execution). One route group
+    materializes ~total_bytes / n_routes in a single map_groups task, so
+    pick n_routes such that a group fits the 256-512 MB worker-heap
+    envelope documented on hash_shuffle_join. Downstream filters and
+    projections only SHRINK groups, so sizing from the unfiltered scans
+    is upper-bound-safe. At test scale this lands at `lo` (per-task
+    fixed overhead dominates — measured 1.4-2.3x faster than 64 routes
+    at sf0.1); at 100 TB it lands in the thousands. Pass the raw
+    `read_parquet` datasets BEFORE map_batches — size_bytes() on a
+    mapped dataset would trigger execution."""
+    total = 0
+    for ds in source_datasets:
+        try:
+            total += int(ds.size_bytes() or 0)
+        except Exception:
+            total += target_bytes * 64  # unknown side: assume wide
+    return max(lo, min(hi, -(-total // target_bytes)))
+
+
 def hash_shuffle_join(
     left_ds, right_ds, left_key: str, right_key: str, n_routes: int = 64,
     post=None,
@@ -469,10 +502,11 @@ def shuffle_join(sf_dir: str):
             }
         )
 
-    li = li.map_batches(rev, batch_format="pyarrow")
     orders = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     )
+    nr = auto_routes(li, orders)
+    li = li.map_batches(rev, batch_format="pyarrow")
 
     # combiner (A1 pattern) folded into the join's route groups (post=,
     # round 5): each group emits ≤5 partial rows, so the full joined
@@ -485,7 +519,7 @@ def shuffle_join(sf_dir: str):
         return g
 
     joined = hash_shuffle_join(
-        li, orders, "l_orderkey", "o_orderkey", post=partial
+        li, orders, "l_orderkey", "o_orderkey", n_routes=nr, post=partial
     )
 
     # ≤5 partial rows per group → a driver merge of the tiny frames beats
@@ -1108,7 +1142,7 @@ def mad_outliers(sf_dir: str):
     )
 
 
-def shipping_priority(sf_dir: str, k: int = 10, n_routes: int = 64):
+def shipping_priority(sf_dir: str, k: int = 10, n_routes: int | None = None):
     """TPC-H Q3-shaped shipping-priority top-k (public query shape): the
     unshipped revenue of BUILDING-segment customers' pre-cutoff orders,
     top-k orders by revenue. Three-table pipeline with NO broadcast side
@@ -1157,17 +1191,19 @@ def shipping_priority(sf_dir: str, k: int = 10, n_routes: int = 64):
             }
         )
 
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    if n_routes is None:
+        n_routes = auto_routes(cust, orders, line)
+
     bld_orders = hash_shuffle_join(
         orders.map_batches(ord_filter, batch_format="pyarrow"),
         cust.map_batches(cust_filter, batch_format="pyarrow"),
         "o_custkey",
         "c_custkey",
         n_routes=n_routes,
-    )
-
-    line = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
     def line_partial(t: pa.Table) -> pa.Table:
@@ -1228,7 +1264,7 @@ def shipping_priority(sf_dir: str, k: int = 10, n_routes: int = 64):
     )
 
 
-def local_supplier_volume(sf_dir: str, n_routes: int = 64):
+def local_supplier_volume(sf_dir: str, n_routes: int | None = None):
     """TPC-H Q5-shaped local-supplier volume (public query shape):
     revenue per (region, nation) from lineitems whose supplier sits in
     the ordering customer's own nation, over a 3-year order window.
@@ -1295,17 +1331,19 @@ def local_supplier_volume(sf_dir: str, n_routes: int = 64):
             }
         )
 
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    if n_routes is None:
+        n_routes = auto_routes(cust, orders, line)
+
     cust_orders = hash_shuffle_join(
         orders.map_batches(ord_filter, batch_format="pyarrow"),
         cust.map_batches(cust_sel, batch_format="pyarrow"),
         "o_custkey",
         "c_custkey",
         n_routes=n_routes,
-    )
-
-    line = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
     def line_partial(t: pa.Table) -> pa.Table:
@@ -1507,7 +1545,7 @@ def promo_revenue(sf_dir: str):
     )
 
 
-def returned_item_revenue(sf_dir: str, k: int = 20, n_routes: int = 64):
+def returned_item_revenue(sf_dir: str, k: int = 20, n_routes: int | None = None):
     """TPC-H Q10-shaped returned-item report (public query shape): the
     top-k customers by revenue lost to returned ('R') lineitems against
     one order quarter. customer and orders are both fact-sized at 100 TB,
@@ -1540,6 +1578,8 @@ def returned_item_revenue(sf_dir: str, k: int = 20, n_routes: int = 64):
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
     )
+    if n_routes is None:
+        n_routes = auto_routes(orders, line)
 
     def line_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
@@ -1619,7 +1659,7 @@ def returned_item_revenue(sf_dir: str, k: int = 20, n_routes: int = 64):
 
 
 def large_volume_orders(sf_dir: str, qty_threshold: float = 200.0, k: int = 100,
-                        n_routes: int = 64):
+                        n_routes: int | None = None):
     """TPC-H Q18-shaped large-volume-customer report (public query shape):
     orders whose total lineitem quantity exceeds a threshold, with the
     ordering customer's name, top-k by order totalprice. Shape:
@@ -1654,6 +1694,8 @@ def large_volume_orders(sf_dir: str, qty_threshold: float = 200.0, k: int = 100,
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
+    if n_routes is None:
+        n_routes = auto_routes(line, orders)
 
     def ord_prep(t: pa.Table) -> pa.Table:
         od_us = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
@@ -1728,7 +1770,8 @@ def large_volume_orders(sf_dir: str, qty_threshold: float = 200.0, k: int = 100,
     )
 
 
-def late_shipment_priority(sf_dir: str, grace_days: int = 90, n_routes: int = 64):
+def late_shipment_priority(sf_dir: str, grace_days: int = 90,
+                           n_routes: int | None = None):
     """TPC-H Q4-shaped order-priority check (public query shape, adapted
     to the available columns): per order priority, how many orders in one
     quarter have at least one lineitem shipped more than `grace_days`
@@ -1767,6 +1810,8 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 90, n_routes: int = 64
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
+    if n_routes is None:
+        n_routes = auto_routes(line, orders)
 
     def ord_filter(t: pa.Table) -> pa.Table:
         m = pc.and_(
