@@ -107,10 +107,11 @@ class MediaFeatureStage:
                 "media_id": t["media_id"],
                 "media_type": t["media_type"],
                 "n_pixels": pa.array(n_px, pa.int64()),
-                # storage stays compact float32; math is float64 (oracle)
-                "feature": pa.array(
-                    [list(map(float, f)) for f in feats.astype(np.float32)],
-                    pa.list_(pa.float32(), FEATURE_DIM),
+                # storage stays compact float32; math is float64 (oracle);
+                # zero-copy fixed-width build — no per-row Python list
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.astype(np.float32).reshape(-1), pa.float32()),
+                    FEATURE_DIM,
                 ),
                 "feature_norm_e6": pa.array(norm_e6, pa.int64()),
             }
@@ -153,17 +154,24 @@ class ResizeStage:
         # quantize the result back to float32 storage — deterministic
         # arithmetic the SQL mirror reproduces exactly (CAST(x AS FLOAT)
         # at both quantization layers, ordered sequential sums between)
-        feats = [np.asarray(f, dtype=np.float64) for f in t["feature"].to_pylist()]
+        # fixed-width list<float32, FEATURE_DIM> → (n, dim) float64,
+        # zero-copy flatten (VERDICT r4 #2 pattern, same as ops/ann.py)
+        col = t["feature"].combine_chunks()
+        feats = (
+            col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(-1, FEATURE_DIM)
+        )
         factor = FEATURE_DIM // self.out_dim
-        small = [f.reshape(self.out_dim, factor).sum(axis=1) for f in feats]
+        small = feats.reshape(-1, self.out_dim, factor).sum(axis=2)
         out = t.drop_columns(
             [c for c in ("feature", "feature_norm_e6") if c in t.schema.names]
         )
         return out.append_column(
             "feature_small",
-            pa.array(
-                [list(map(float, s.astype(np.float32))) for s in small],
-                pa.list_(pa.float32(), self.out_dim),
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(small.astype(np.float32).reshape(-1), pa.float32()),
+                self.out_dim,
             ),
         )
 

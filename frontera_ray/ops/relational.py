@@ -356,8 +356,12 @@ def _neutral_fill(n: int, typ: pa.DataType) -> pa.Array:
 
 _ROUTE_TARGET_BYTES = 384 << 20  # mid of the 256-512 MB/group envelope
 _ROUTE_MIN = 16  # parallelism floor so the map side never serializes
-_ROUTE_MAX = 65536  # sanity cap; 100 TB / 384 MB ≈ 2.7e5 would exceed it
-# only with inputs far past the design point
+_ROUTE_MAX = 1 << 19  # sanity cap ABOVE the design point: 100 TB through
+# one exchange needs ceil(100 TB / 384 MB) ≈ 2.7e5 route groups, and the
+# group count must win over the heap envelope (a bound cap would silently
+# inflate groups past 512 MB). ~5e5 map_groups tasks is scheduler-fine on
+# a 256-node cluster; inputs past ~192 TB/exchange would need a re-think
+# anyway (multi-level exchange), so the cap only guards absurd estimates.
 
 
 def auto_routes(
