@@ -839,80 +839,82 @@ def bigram_lift(sf_dir: str, k: int = 50):
     (N·c12) int product is exact, and the single ·1e6-then-divide runs
     as the same two correctly-rounded double ops in numpy and DuckDB
     (repo-wide single-division argument), so the export hashes equal.
-    Distributed shape: per-batch vectorized bigram counting (flattened
-    token array + doc-boundary mask — text never reaches the shuffle,
-    only (w1, w2, count) partials), one two-key groupby over the
-    combiner output, per-block partial top-k, bounded driver merge;
-    unigram counts for the ≤ 2k winner words come from a second
+    Distributed shape: per-batch Arrow-native bigram counting — joined
+    "w1\\x00w2" keys built with binary_join_element_wise over zero-copy
+    token slices, value_counts per batch, the N scalar fused into the
+    same pass as a sentinel "N" row (a real key always contains the
+    \\x00 separator, so no collision) — text never reaches the shuffle,
+    only (key, count) partials; one single-string-key groupby (cheaper
+    on the wire than two keys, and \\x00 < every token byte makes joined
+    lexicographic order equal tuple order, so top-k tie-breaks match the
+    oracle's ORDER BY w1, w2), per-block partial top-k, bounded driver
+    merge; unigram counts for the ≤ 2k winner words come from a second
     broadcast-filtered pass (never a full vocabulary build)."""
     from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
 
-    def _flat_tokens(t: pa.Table):
-        col = pc.split_pattern(t["text"], " ").combine_chunks()
-        flat = np.asarray(col.flatten().to_pylist(), dtype=object)
-        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
-        ends = np.cumsum(lens)
-        return flat, ends
-
     def pair_counts(t: pa.Table) -> pa.Table:
-        flat, ends = _flat_tokens(t)
-        if len(flat) < 2:
+        col = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = col.flatten()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        # N partial = Σ_docs (len - 1), fused here (saves a full scan)
+        n_part = int(lens.sum()) - len(lens)
+        if n < 2:
             return pa.table(
-                {
-                    "w1": pa.array([], pa.string()),
-                    "w2": pa.array([], pa.string()),
-                    "c12": pa.array([], pa.int64()),
-                }
+                {"kk": pa.array(["N"]), "c12": pa.array([n_part], pa.int64())}
             )
-        keep = np.ones(len(flat) - 1, dtype=bool)
-        keep[ends[:-1] - 1] = False  # pairs never cross a doc boundary
-        df = pd.DataFrame({"w1": flat[:-1][keep], "w2": flat[1:][keep]})
-        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="c12")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        keep = np.ones(n - 1, dtype=bool)
+        keep[np.cumsum(lens)[:-1] - 1] = False  # never cross a doc boundary
+        key = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n - 1), "\x00"
+        )
+        vc = pc.value_counts(pc.filter(key, pa.array(keep)))
+        return pa.table(
+            {
+                "kk": pa.concat_arrays(
+                    [vc.field("values").cast(pa.string()), pa.array(["N"])]
+                ),
+                "c12": pa.concat_arrays(
+                    [vc.field("counts"), pa.array([n_part], pa.int64())]
+                ),
+            }
+        )
 
     parts = ds.map_batches(pair_counts, batch_format="pyarrow")
-    agg = parts.groupby(["w1", "w2"]).aggregate(Sum("c12", alias_name="c12"))
+    agg = parts.groupby("kk").aggregate(Sum("c12", alias_name="c12"))
 
     def block_topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df = df.sort_values(
-            ["c12", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        sent = df[df["kk"] == "N"]  # the fully-aggregated N row rides along
+        df = df[df["kk"] != "N"].sort_values(
+            ["c12", "kk"], ascending=[False, True], kind="mergesort"
         )
-        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+        return pa.Table.from_pandas(
+            pd.concat([df.head(k), sent]), preserve_index=False
+        )
 
-    # bounded merges: ≤ k × #blocks top-k rows; ≤ 1 × #batches totals
+    # bounded merges: ≤ k × #blocks top-k rows + the sentinel row
     top = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    n_total = int(top.loc[top["kk"] == "N", "c12"].sum())
     top = (
-        top.sort_values(
-            ["c12", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
-        )
+        top[top["kk"] != "N"]
+        .sort_values(["c12", "kk"], ascending=[False, True], kind="mergesort")
         .head(k)
         .reset_index(drop=True)
     )
-    def n_partial(t: pa.Table) -> pa.Table:
-        lens = pc.list_value_length(pc.split_pattern(t["text"], " "))
-        return pa.table(
-            {"n": pa.array([int(pc.sum(lens).as_py()) - len(t)], pa.int64())}
-        )
-
-    # N = Σ_docs (len - 1): one scalar per batch, bounded driver sum
-    n_total = int(
-        ds.map_batches(n_partial, batch_format="pyarrow").to_pandas()["n"].sum()
-    )
+    _parts = top["kk"].str.split("\x00")
+    top["w1"], top["w2"] = _parts.str[0], _parts.str[1]
 
     words = sorted(set(top["w1"]) | set(top["w2"]))
+    wset = pa.array(words, pa.string())
 
     def uni_counts(t: pa.Table) -> pa.Table:
-        flat, _ = _flat_tokens(t)
-        s = pd.Series(flat)
-        c = s[s.isin(words)].value_counts()
+        flat = pc.split_pattern(t["text"], " ").combine_chunks().flatten()
+        vc = pc.value_counts(pc.filter(flat, pc.is_in(flat, value_set=wset)))
         return pa.table(
-            {
-                "w": pa.array(c.index.tolist(), pa.string()),
-                "c": pa.array(c.to_numpy(np.int64), pa.int64()),
-            }
+            {"w": vc.field("values").cast(pa.string()), "c": vc.field("counts")}
         )
 
     # bounded merge: ≤ 2k winner words × #batches
@@ -954,119 +956,118 @@ def trigram_lift(sf_dir: str, k: int = 50):
     same two correctly-rounded double ops in numpy and DuckDB (the
     bigram_lift export argument), so the hash matches.
 
-    Distributed shape (the bigram_lift template): per-batch vectorized
-    trigram counting over the flattened token array with doc-boundary
-    masks (text never reaches the shuffle, only (w1,w2,w3,count)
-    partials), one three-key groupby over the combiner output, per-block
-    partial top-k, bounded driver merge; bigram counts for the ≤ 2k
-    winner pairs come from a second broadcast-filtered pass (never a
-    full bigram-vocabulary build)."""
+    Distributed shape (the bigram_lift template): per-batch Arrow-native
+    trigram counting — joined "w1\\x00w2\\x00w3" keys from zero-copy
+    token slices, value_counts per batch, the N scalar fused into the
+    same pass as a sentinel "N" row (text never reaches the shuffle,
+    only (key, count) partials), one single-string-key groupby (\\x00 <
+    every token byte, so joined lexicographic order equals tuple order
+    and top-k tie-breaks match the oracle), per-block partial top-k,
+    bounded driver merge; bigram counts for the ≤ 2k winner pairs come
+    from a second broadcast-filtered pass (never a full
+    bigram-vocabulary build)."""
     from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
 
-    def _flat_tokens(t: pa.Table):
-        col = pc.split_pattern(t["text"], " ").combine_chunks()
-        flat = np.asarray(col.flatten().to_pylist(), dtype=object)
-        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
-        ends = np.cumsum(lens)
-        return flat, ends
-
     def tri_counts(t: pa.Table) -> pa.Table:
-        flat, ends = _flat_tokens(t)
-        if len(flat) < 3:
+        col = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = col.flatten()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        # N partial = Σ_docs max(len-2, 0), fused here (saves a full scan)
+        n_part = int(np.maximum(lens - 2, 0).sum())
+        if n < 3:
             return pa.table(
-                {
-                    "w1": pa.array([], pa.string()),
-                    "w2": pa.array([], pa.string()),
-                    "w3": pa.array([], pa.string()),
-                    "c123": pa.array([], pa.int64()),
-                }
+                {"kk": pa.array(["N"]), "c123": pa.array([n_part], pa.int64())}
             )
-        keep = np.ones(len(flat) - 2, dtype=bool)
+        keep = np.ones(n - 2, dtype=bool)
         # windows never cross a doc boundary: kill the last TWO start
         # positions of every doc but the final one
-        b = ends[:-1]
+        b = np.cumsum(lens)[:-1]
         keep[b[b - 1 < len(keep)] - 1] = False
         keep[b[b - 2 >= 0] - 2] = False
-        df = pd.DataFrame(
-            {"w1": flat[:-2][keep], "w2": flat[1:-1][keep], "w3": flat[2:][keep]}
+        key = pc.binary_join_element_wise(
+            flat.slice(0, n - 2), flat.slice(1, n - 2), flat.slice(2, n - 2), "\x00"
         )
-        g = df.groupby(["w1", "w2", "w3"], sort=False).size().reset_index(name="c123")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        vc = pc.value_counts(pc.filter(key, pa.array(keep)))
+        return pa.table(
+            {
+                "kk": pa.concat_arrays(
+                    [vc.field("values").cast(pa.string()), pa.array(["N"])]
+                ),
+                "c123": pa.concat_arrays(
+                    [vc.field("counts"), pa.array([n_part], pa.int64())]
+                ),
+            }
+        )
 
     parts = ds.map_batches(tri_counts, batch_format="pyarrow")
-    agg = parts.groupby(["w1", "w2", "w3"]).aggregate(Sum("c123", alias_name="c123"))
+    agg = parts.groupby("kk").aggregate(Sum("c123", alias_name="c123"))
 
     def block_topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df = df.sort_values(
-            ["c123", "w1", "w2", "w3"],
-            ascending=[False, True, True, True],
-            kind="mergesort",
+        sent = df[df["kk"] == "N"]  # the fully-aggregated N row rides along
+        df = df[df["kk"] != "N"].sort_values(
+            ["c123", "kk"], ascending=[False, True], kind="mergesort"
         )
-        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+        return pa.Table.from_pandas(
+            pd.concat([df.head(k), sent]), preserve_index=False
+        )
 
-    # bounded merges: ≤ k × #blocks top-k rows; ≤ 1 × #batches totals
+    # bounded merges: ≤ k × #blocks top-k rows + the sentinel row
     top = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    n_total = int(top.loc[top["kk"] == "N", "c123"].sum())
     top = (
-        top.sort_values(
-            ["c123", "w1", "w2", "w3"],
-            ascending=[False, True, True, True],
-            kind="mergesort",
-        )
+        top[top["kk"] != "N"]
+        .sort_values(["c123", "kk"], ascending=[False, True], kind="mergesort")
         .head(k)
         .reset_index(drop=True)
     )
+    _sp = top["kk"].str.split("\x00")
+    top["w1"], top["w2"], top["w3"] = _sp.str[0], _sp.str[1], _sp.str[2]
 
-    def n_partial(t: pa.Table) -> pa.Table:
-        lens = pc.list_value_length(pc.split_pattern(t["text"], " ")).to_numpy(
-            zero_copy_only=False
-        )
-        n = int(np.maximum(lens - 2, 0).sum())
-        return pa.table({"n": pa.array([n], pa.int64())})
-
-    # N = Σ_docs max(len-2, 0): one scalar per batch, bounded driver sum
-    n_total = int(
-        ds.map_batches(n_partial, batch_format="pyarrow").to_pandas()["n"].sum()
-    )
-
-    pairs_wanted = sorted(
-        set(zip(top["w1"], top["w2"])) | set(zip(top["w2"], top["w3"]))
-    )
+    # driver-side key build MUST be pure Python: pandas Series + "\x00"
+    # silently drops the NUL (numpy fixed-width unicode pads with NULs)
+    k12 = [f"{a}\x00{b}" for a, b in zip(top["w1"], top["w2"])]
+    k23 = [f"{a}\x00{b}" for a, b in zip(top["w2"], top["w3"])]
+    pair_keys = sorted(set(k12) | set(k23))
+    pset = pa.array(pair_keys, pa.string())
 
     def pair_counts_for(t: pa.Table) -> pa.Table:
-        flat, ends = _flat_tokens(t)
-        if len(flat) < 2:
+        col = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = col.flatten()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < 2:
             return pa.table(
-                {
-                    "u1": pa.array([], pa.string()),
-                    "u2": pa.array([], pa.string()),
-                    "c": pa.array([], pa.int64()),
-                }
+                {"pk": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
             )
-        keep = np.ones(len(flat) - 1, dtype=bool)
-        keep[ends[:-1] - 1] = False  # pairs never cross a doc boundary
-        df = pd.DataFrame({"u1": flat[:-1][keep], "u2": flat[1:][keep]})
-        key = pd.MultiIndex.from_frame(df)
-        df = df[key.isin(pairs_wanted)]
-        g = df.groupby(["u1", "u2"], sort=False).size().reset_index(name="c")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        keep = np.ones(n - 1, dtype=bool)
+        keep[np.cumsum(lens)[:-1] - 1] = False  # never cross a doc boundary
+        key = pc.filter(
+            pc.binary_join_element_wise(
+                flat.slice(0, n - 1), flat.slice(1, n - 1), "\x00"
+            ),
+            pa.array(keep),
+        )
+        vc = pc.value_counts(pc.filter(key, pc.is_in(key, value_set=pset)))
+        return pa.table(
+            {"pk": vc.field("values").cast(pa.string()), "c": vc.field("counts")}
+        )
 
-    # bounded merge: ≤ 2k winner pairs × #batches
-    bc = (
-        ds.map_batches(pair_counts_for, batch_format="pyarrow")
-        .to_pandas()
-        .groupby(["u1", "u2"])["c"]
-        .sum()
-    )
+    # bounded merge: ≤ 2k winner pairs × #batches. pandas hashing
+    # (groupby/reindex/factorize) TRUNCATES object strings at the first
+    # NUL, so the tiny driver merge is a pure-Python dict — Python str
+    # hashing is NUL-exact.
+    pdf = ds.map_batches(pair_counts_for, batch_format="pyarrow").to_pandas()
+    bc: dict = {}
+    if "pk" in pdf.columns:
+        for pk_, c_ in zip(pdf["pk"], pdf["c"]):
+            bc[pk_] = bc.get(pk_, 0) + int(c_)
     c123 = top["c123"].to_numpy(np.int64)
-    c12 = bc.reindex(pd.MultiIndex.from_arrays([top["w1"], top["w2"]])).to_numpy(
-        np.int64
-    )
-    c23 = bc.reindex(pd.MultiIndex.from_arrays([top["w2"], top["w3"]])).to_numpy(
-        np.int64
-    )
+    c12 = np.array([bc[x] for x in k12], dtype=np.int64)
+    c23 = np.array([bc[x] for x in k23], dtype=np.int64)
     lift = np.floor(
         (np.int64(n_total) * c123).astype(np.float64)
         * 1_000_000.0
