@@ -362,25 +362,39 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
 def top_ngrams(sf_dir: str, n: int = 2, k: int = 20):
     """Corpus-level n-gram frequency table, top-k by count (the n-gram
     statistics pass of LLM-corpus analysis). Distributed shape: per-batch
-    Counter partials (one row per distinct n-gram per batch — the combiner
-    pattern, so the groupby shuffles counts, not occurrences) → ONE small
-    groupby sum → per-batch partial top-k → driver merges k rows per
-    block. Ties broken by n-gram text for determinism."""
+    Arrow-native partials — n shifted zero-copy slices of the flat token
+    array joined with binary_join_element_wise(" "), doc-boundary starts
+    masked out, value_counts per batch (one row per distinct n-gram per
+    batch — the combiner pattern, so the groupby shuffles counts, not
+    occurrences) → ONE small groupby sum → per-batch partial top-k →
+    driver merges k rows per block. Ties broken by n-gram text for
+    determinism."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
 
     def partials(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for text in t["text"].to_pylist():
-            toks = text.split(" ")
-            c.update(
-                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        col = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = col.flatten()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        tot = len(flat)
+        if tot < n:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
             )
+        gram = pc.binary_join_element_wise(
+            *[flat.slice(i, tot - n + 1) for i in range(n)], " "
+        )
+        keep = np.ones(tot - n + 1, dtype=bool)
+        # windows never cross a doc boundary: kill the last n-1 start
+        # positions of every doc but the final one
+        b = np.cumsum(lens)[:-1]
+        for j in range(1, n):
+            idx = b - j
+            keep[idx[(idx >= 0) & (idx < len(keep))]] = False
+        vc = pc.value_counts(pc.filter(gram, pa.array(keep)))
         return pa.table(
             {
-                "ngram": pa.array(list(c.keys()), pa.string()),
-                "cnt": pa.array(list(c.values()), pa.int64()),
+                "ngram": vc.field("values").cast(pa.string()),
+                "cnt": vc.field("counts"),
             }
         )
 
@@ -772,22 +786,29 @@ def type_token_ratio(sf_dir: str):
     Gopher-family): distinct tokens / total tokens, exported as the
     repo-wide scaled int with the d*1e6/n association (the
     repetition_scores lesson — match the oracle's float association
-    exactly). Vectorized per batch: one vocab pass per doc."""
+    exactly). Arrow-vectorized per batch: dictionary-encode the flat
+    token array once, then distinct-per-doc = unique (doc, code) pairs
+    counted with one bincount — no per-document Python."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def ttr(t: pa.Table) -> pa.Table:
-        n_out, r_out = [], []
-        for text in t["text"].to_pylist():
-            toks = text.split(" ")
-            n = len(toks)
-            d = len(set(toks))
-            n_out.append(n)
-            r_out.append(int(np.floor(d * 1_000_000.0 / n + 0.5)) if n else 0)
+        col = pc.split_pattern(t["text"], " ").combine_chunks()
+        lens = (
+            pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        enc = col.flatten().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nvocab = max(len(enc.dictionary), 1)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        up = np.unique(doc_idx * nvocab + codes)
+        d = np.bincount(up // nvocab, minlength=len(lens)).astype(np.int64)
+        r = np.floor(d * 1_000_000.0 / np.maximum(lens, 1) + 0.5).astype(np.int64)
+        r[lens == 0] = 0
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_tokens": pa.array(n_out, pa.int64()),
-                "ttr_e6": pa.array(r_out, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "ttr_e6": pa.array(r, pa.int64()),
             }
         )
 
@@ -1102,14 +1123,11 @@ def word_freq_histogram(sf_dir: str, cap: int = 100):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
 
     def tok_counts(t: pa.Table) -> pa.Table:
-        col = pc.split_pattern(t["text"], " ").combine_chunks()
-        s = pd.Series(np.asarray(col.flatten().to_pylist(), dtype=object))
-        c = s.value_counts()
+        vc = pc.value_counts(
+            pc.split_pattern(t["text"], " ").combine_chunks().flatten()
+        )
         return pa.table(
-            {
-                "w": pa.array(c.index.tolist(), pa.string()),
-                "c": pa.array(c.to_numpy(np.int64), pa.int64()),
-            }
+            {"w": vc.field("values").cast(pa.string()), "c": vc.field("counts")}
         )
 
     agg = (
@@ -1365,8 +1383,9 @@ def rarity_scores(sf_dir: str):
     corpus VOCABULARY, bounded by the Zipf envelope for natural text, so
     it broadcasts via ray.put; an open-vocabulary corpus would instead
     attach counts through the co-partitioned token join ngram_jaccard
-    uses. (2) map_batches: factorize each batch's tokens, ONE dict lookup
-    per DISTINCT token, np.add.reduceat for per-doc int sums."""
+    uses. (2) map_batches: dictionary-encode each batch's tokens in
+    Arrow, ONE dict lookup per DISTINCT token, np.add.reduceat for
+    per-doc int sums."""
     import ray
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1383,11 +1402,13 @@ def rarity_scores(sf_dir: str):
 
     def score(t: pa.Table) -> pa.Table:
         n_tot, cm = ray.get(ref)
-        texts = t["text"].to_pylist()
-        toks_per_doc = [tx.split(" ") for tx in texts]
-        lens = np.array([len(tk) for tk in toks_per_doc], np.int64)
-        flat = np.concatenate([np.asarray(tk, dtype=object) for tk in toks_per_doc])
-        codes, uniq = pd.factorize(flat)
+        col = pc.split_pattern(t["text"], " ").combine_chunks()
+        lens = (
+            pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        enc = col.flatten().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
         contrib = np.array([n_tot // cm[w] for w in uniq], np.int64)[codes]
         offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
         rarity = np.add.reduceat(contrib, offsets)
