@@ -21,6 +21,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
@@ -98,6 +99,35 @@ def _token_hash_concat(toks_per_doc: list[list[str]]) -> tuple[np.ndarray, np.nd
     return th, counts
 
 
+def _token_hash_concat_arrow(text_col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow-native `_token_hash_concat` over a text column: split + empty
+    filter + dictionary_encode replace the per-token Python vocab pass;
+    md5 still runs once per DISTINCT token, so every hash value — and
+    therefore every downstream signature/golden file — is identical to
+    the list version. Empty-token filtering makes Arrow's split-on-space
+    equal str.split() whitespace semantics for space-separated text."""
+    col = pc.split_pattern(text_col, " ").combine_chunks()
+    flat = col.flatten()
+    counts = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat, "")
+    if len(flat) and not pc.all(nonempty).as_py():
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        emptym = np.invert(nonempty.to_numpy(zero_copy_only=False))
+        counts = counts - np.bincount(doc_idx[emptym], minlength=len(counts))
+        flat = pc.filter(flat, nonempty)
+    if len(flat) == 0:
+        return np.zeros(0, np.uint64), counts
+    enc = flat.dictionary_encode()
+    inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in vocab),
+        dtype=np.uint64,
+        count=len(vocab),
+    )
+    return uh[inv], counts
+
+
 def _fold_windows(
     th: np.ndarray,
     counts: np.ndarray,
@@ -169,12 +199,12 @@ class MinHashStage:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
         # round-4: batch-level token hashing + vectorized window fold —
         # no gram strings are ever built, md5 runs once per distinct token
-        th, counts = _token_hash_concat([text.split() for text in texts])
+        # (round-5: split/vocab pass is Arrow-native, hash values identical)
+        th, counts = _token_hash_concat_arrow(t["text"])
         acc, m = _fold_windows(th, counts, self.k)
-        n = len(texts)
+        n = t.num_rows
         out = np.full((n, _NUM_PERM), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
         # distinct shingles per doc (min over the multiset would be
         # identical, but repetitive corpora shrink the mix matrix a lot)
@@ -737,27 +767,13 @@ def simhash_signatures(sf_dir: str):
         # (md5 is the kernel cost; corpora repeat tokens heavily), then one
         # (total_tokens × 64) bit matrix with per-doc segment sums
         # (np.add.reduceat) — value-identical to the per-doc loop
-        toks_per_doc = [text.split() for text in t["text"].to_pylist()]
-        counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
-        n = len(toks_per_doc)
+        # round-5: split/vocab pass is Arrow-native; empty docs contribute
+        # zero tokens, so the nz-concatenated layout below is unchanged
+        hs, counts = _token_hash_concat_arrow(t["text"])
+        n = t.num_rows
         out = np.zeros(n, dtype=np.uint64)
         nz = np.nonzero(counts)[0]
         if len(nz):
-            vocab: dict[str, int] = {}
-            inv = np.fromiter(
-                (vocab.setdefault(w, len(vocab)) for i in nz for w in toks_per_doc[i]),
-                dtype=np.int64,
-                count=int(counts[nz].sum()),
-            )
-            uh = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                    for w in vocab
-                ),
-                dtype=np.uint64,
-                count=len(vocab),
-            )
-            hs = uh[inv]
             starts = np.zeros(len(nz), dtype=np.int64)
             starts[1:] = np.cumsum(counts[nz])[:-1]
             shifts = np.arange(64, dtype=np.uint64)

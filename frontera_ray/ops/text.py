@@ -701,20 +701,19 @@ def doc_fingerprints(sf_dir: str, window: int = 4, keep_mod: int = 8):
     k numpy fold passes), not per-window Python md5 of joined strings.
     The SQL mirror runs the identical fold CTE chain. No short-doc
     fallback window here: docs with < `window` tokens have none."""
-    from .dedup import _fold_windows, _token_hash_concat
+    from .dedup import _fold_windows, _token_hash_concat_arrow
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        th, counts = _token_hash_concat([x.split() for x in texts])
+        th, counts = _token_hash_concat_arrow(t["text"])
         acc, m = _fold_windows(th, counts, window, short_fallback=False)
         keep = acc % np.uint64(keep_mod) == 0
         # per-doc segment reductions over the kept windows
         starts = np.zeros(len(m), dtype=np.int64)
         starts[1:] = np.cumsum(m)[:-1]
         n_out, min_out = [], []
-        for d in range(len(texts)):
+        for d in range(t.num_rows):
             sel = acc[starts[d] : starts[d] + m[d]][keep[starts[d] : starts[d] + m[d]]]
             n_out.append(len(sel))
             min_out.append(f"{int(sel.min()):016x}" if len(sel) else "")
