@@ -167,16 +167,6 @@ def _fold_windows(
     return acc, m
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """uint64 hashes of word k-shingles (distinct, sorted)."""
-    words = text.split()
-    if not words:
-        return np.zeros(0, np.uint64)
-    th, counts = _token_hash_concat([words])
-    acc, _ = _fold_windows(th, counts, k)
-    return np.unique(acc)
-
-
 def _minhash_sig(sh: np.ndarray) -> np.ndarray:
     """64-perm minhash via splitmix64-mixed hash families (vectorized:
     one (n_shingles × n_perm) matrix per doc)."""
@@ -604,9 +594,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3):
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sub = t.filter(pa.array(np.isin(ids, ray.get(need_ref))))
         sids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # round-5: ONE batched vocab-hash + window fold over the whole
+        # candidate subset (was per-doc _shingle_hashes); np.unique is
+        # sorted, so the blob bytes are identical to the per-doc path
+        th, counts = _token_hash_concat_arrow(sub["text"])
+        acc, m = _fold_windows(th, counts, kk)
+        starts = np.zeros(len(m), dtype=np.int64)
+        starts[1:] = np.cumsum(m)[:-1]
         blobs = [
-            np.sort(_shingle_hashes(text, kk)).tobytes()
-            for text in sub["text"].to_pylist()
+            np.unique(acc[starts[d] : starts[d] + m[d]]).tobytes()
+            for d in range(len(sids))
         ]
         return pa.table(
             {

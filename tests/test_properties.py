@@ -162,3 +162,26 @@ def test_fold_windows_matches_scalar_reference(docs, k, fallback):
     ref_acc, ref_m = _naive_fold(docs, k, fallback)
     assert (m == ref_m).all()
     assert (acc == ref_acc).all()
+
+
+# ---- round-5: the Arrow-native token-hash vocab pass ------------------
+
+texts_ws = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=12), min_size=0, max_size=8
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=texts_ws)
+def test_token_hash_concat_arrow_matches_list_version(texts):
+    """_token_hash_concat_arrow == _token_hash_concat over str.split()
+    token lists for space-separated text — including empty docs,
+    leading/trailing and doubled spaces (the empty-token filter)."""
+    import pyarrow as pa
+
+    from frontera_ray.ops.dedup import _token_hash_concat, _token_hash_concat_arrow
+
+    th_ref, counts_ref = _token_hash_concat([x.split() for x in texts])
+    th, counts = _token_hash_concat_arrow(pa.chunked_array([pa.array(texts, pa.string())]))
+    assert (counts == counts_ref).all()
+    assert (th == th_ref).all()
