@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_load": temporal.hourly_load,
         "knn_graph": ann.knn_graph,
         "rarity_scores": text.rarity_scores,
+        "nation_trade_volume": relational.nation_trade_volume,
+        "nation_market_share": relational.nation_market_share,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1256,6 +1258,53 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(tot.n // c.c) AS BIGINT) AS rarity "
             "FROM tok t JOIN c ON t.w = c.w CROSS JOIN tot "
             "GROUP BY t.doc_id"
+        ),
+        # TPC-H Q7 shape: cross-nation trade matrix by order year, the
+        # complement of local_supplier_volume's same-nation predicate
+        "nation_trade_volume": (
+            "WITH f AS (SELECT n1.n_name AS supp_nation, "
+            "n2.n_name AS cust_nation, "
+            "CAST(year(o_orderdate) AS BIGINT) AS l_year, "
+            "CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) "
+            "AS BIGINT) AS rev "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND n1.n_nationkey <> n2.n_nationkey) "
+            "SELECT supp_nation, cust_nation, l_year, "
+            "CAST(sum(rev) AS BIGINT) AS revenue_e4 "
+            "FROM f GROUP BY supp_nation, cust_nation, l_year"
+        ),
+        # TPC-H Q8 shape: supplier-nation share of one region's revenue
+        # per order year; share via exact HUGEINT floor division (the
+        # promo_revenue idiom)
+        "nation_market_share": (
+            "WITH f AS (SELECT n1.n_name AS supp_nation, "
+            "CAST(year(o_orderdate) AS BIGINT) AS l_year, "
+            "CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) "
+            "AS BIGINT) AS rev "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "JOIN region ON n2.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01'), "
+            "a AS (SELECT supp_nation, l_year, "
+            "CAST(sum(rev) AS BIGINT) AS revenue_e4 "
+            "FROM f GROUP BY supp_nation, l_year), "
+            "t AS (SELECT l_year, CAST(sum(revenue_e4) AS HUGEINT) AS tot "
+            "FROM a GROUP BY l_year) "
+            "SELECT a.supp_nation, a.l_year, a.revenue_e4, "
+            "CAST((CAST(a.revenue_e4 AS HUGEINT) * 1000000) // t.tot "
+            "AS BIGINT) AS share_e6 "
+            "FROM a JOIN t ON a.l_year = t.l_year"
         ),
         # with-replacement stratified sample: per-(type, draw) argmin of
         # the md5(event_id:draw) priority over an events × range(k) cross

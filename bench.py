@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "hourly_load",
     "knn_graph",
     "rarity_scores",
+    "nation_trade_volume",
+    "nation_market_share",
 ]
 
 

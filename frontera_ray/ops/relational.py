@@ -1875,3 +1875,336 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 90,
             ),
         }
     )
+
+
+def nation_trade_volume(sf_dir: str, n_routes: int | None = None):
+    """TPC-H Q7-shaped cross-nation trade matrix (public query shape,
+    adapted to the available columns): revenue per (supplier nation,
+    customer nation, order year) over a two-year order window, for
+    nation pairs where the supplier and customer nations DIFFER — the
+    complement of local_supplier_volume's same-nation predicate, same
+    join plan:
+
+      supplier→nationkey broadcast ONCE via ray.put as a decoded
+        dense-key array (small everywhere, even at 100 TB);
+      orders(date window, year precomputed) ⋈ customer on custkey via
+        hash_shuffle_join;
+      lineitem per-block COMBINER (row-scaled-int revenue pre-summed by
+        (orderkey, suppkey)) ⋈ that on orderkey, the cross-nation mask +
+        per-(s_nat, c_nat, year) partial folded into the join's route
+        groups (post=) — ≤ |nations|² × 2 rows leave each group;
+      bounded driver merge.
+
+    Integer-exact export: revenue_e4 sums per-ROW
+    floor(l_extendedprice*(1-l_discount)*1e4 + 0.5) as int64 end to end
+    (pandas int-key groupby inside the partial, never float weights)."""
+    import ray
+
+    supp = pd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    max_nk = int(nat["n_nationkey"].max())
+    n_name_by_key = [""] * (max_nk + 1)
+    for nk, nn_ in zip(nat["n_nationkey"], nat["n_name"]):
+        n_name_by_key[int(nk)] = nn_
+    supp_nat = np.full(int(supp["s_suppkey"].max()) + 1, -1, np.int64)
+    supp_nat[supp["s_suppkey"].to_numpy(np.int64)] = supp["s_nationkey"].to_numpy(
+        np.int64
+    )
+    lk_ref = ray.put((supp_nat, n_name_by_key))
+
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    year0 = 1995
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+
+    def cust_sel(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        )
+
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    if n_routes is None:
+        n_routes = auto_routes(cust, orders, line)
+
+    cust_orders = hash_shuffle_join(
+        orders.map_batches(ord_filter, batch_format="pyarrow"),
+        cust.map_batches(cust_sel, batch_format="pyarrow"),
+        "o_custkey",
+        "c_custkey",
+        n_routes=n_routes,
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "rev_e4": row_scaled_int(rev, 10_000).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["l_orderkey", "l_suppkey"], sort=False, as_index=False)[
+            "rev_e4"
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    n_codes_y = 2  # two order years in the window
+
+    def trade_partial(df: pd.DataFrame) -> pd.DataFrame:
+        snk, n_names = ray.get(lk_ref)
+        nn = len(n_names)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        # bounds-mask BEFORE indexing (star_join lesson): dirty FK keys
+        # behave as inner-join drops, not IndexError / wraparound
+        sk_ok = (sk >= 0) & (sk < len(snk))
+        s_nat = np.where(sk_ok, snk[np.where(sk_ok, sk, 0)], -1)
+        c_nat = df["c_nationkey"].to_numpy(np.int64)
+        keep = (s_nat >= 0) & (s_nat != c_nat) & (c_nat >= 0) & (c_nat < nn)
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "supp_nation": pd.Series([], dtype=object),
+                    "cust_nation": pd.Series([], dtype=object),
+                    "l_year": pd.Series([], dtype=np.int64),
+                    "revenue_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        yr = df["o_year"].to_numpy(np.int64)[keep] - year0
+        code = (s_nat[keep] * nn + c_nat[keep]) * n_codes_y + yr
+        g = (
+            pd.DataFrame({"code": code, "rev": df["rev_e4"].to_numpy(np.int64)[keep]})
+            .groupby("code", sort=False, as_index=False)["rev"]
+            .sum()
+        )
+        cd = g["code"].to_numpy(np.int64)
+        pair = cd // n_codes_y
+        return pd.DataFrame(
+            {
+                "supp_nation": [n_names[i] for i in pair // nn],
+                "cust_nation": [n_names[i] for i in pair % nn],
+                "l_year": (cd % n_codes_y) + year0,
+                "revenue_e4": g["rev"].to_numpy(np.int64),
+            }
+        )
+
+    joined = hash_shuffle_join(
+        line.map_batches(line_partial, batch_format="pyarrow"),
+        cust_orders.drop_columns(["o_custkey"]),
+        "l_orderkey",
+        "o_orderkey",
+        n_routes=n_routes,
+        post=trade_partial,
+    )
+    # bounded: ≤ |nations|² × 2 rows per route group reach the driver
+    parts = joined.to_pandas()
+    agg = parts.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False)[
+        "revenue_e4"
+    ].sum()
+    agg = agg.sort_values(
+        ["supp_nation", "cust_nation", "l_year"], kind="mergesort"
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "supp_nation": pa.array(agg["supp_nation"].tolist(), pa.string()),
+            "cust_nation": pa.array(agg["cust_nation"].tolist(), pa.string()),
+            "l_year": pa.array(agg["l_year"].to_numpy(np.int64), pa.int64()),
+            "revenue_e4": pa.array(agg["revenue_e4"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def nation_market_share(
+    sf_dir: str, region: str = "ASIA", n_routes: int | None = None
+):
+    """TPC-H Q8-shaped market share (public query shape, adapted to the
+    available columns): among orders placed by customers of one REGION
+    over a two-year window, each supplier nation's share of the region's
+    revenue per order year. Same join plan as nation_trade_volume, with
+    the region predicate pushed into the customer build side (customers
+    outside the region never enter the exchange):
+
+      customer ⋈ nation⋈region collapses to a vectorized dense-key
+        region mask applied in the customer map (build side shrinks at
+        the scan);
+      orders(window, year) ⋈ customer, then the lineitem combiner ⋈
+        on orderkey with the per-(supplier nation, year) revenue partial
+        folded into the route groups (post=);
+      driver: share_e6 = (nation_rev_e4 * 1e6) // year_total_e4 — exact
+        Python-int floor division (arbitrary precision, the
+        promo_revenue idiom; SQL mirror: HUGEINT `//`)."""
+    import ray
+
+    supp = pd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pd.read_parquet(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pd.read_parquet(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    max_nk = int(nat["n_nationkey"].max())
+    n_name_by_key = [""] * (max_nk + 1)
+    in_region = np.zeros(max_nk + 1, dtype=bool)
+    for nk, nn_, rk in zip(nat["n_nationkey"], nat["n_name"], nat["n_regionkey"]):
+        n_name_by_key[int(nk)] = nn_
+        in_region[int(nk)] = int(rk) == rkey
+    supp_nat = np.full(int(supp["s_suppkey"].max()) + 1, -1, np.int64)
+    supp_nat[supp["s_suppkey"].to_numpy(np.int64)] = supp["s_nationkey"].to_numpy(
+        np.int64
+    )
+    lk_ref = ray.put((supp_nat, n_name_by_key))
+    inreg_ref = ray.put(in_region)
+
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    year0 = 1995
+    n_codes_y = 2
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+
+    def cust_region(t: pa.Table) -> pa.Table:
+        inreg = ray.get(inreg_ref)
+        ck = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (ck >= 0) & (ck < len(inreg))
+        keep = np.zeros(len(ck), dtype=bool)
+        keep[ok] = inreg[ck[ok]]
+        return pa.table({"c_custkey": pc.filter(t["c_custkey"], pa.array(keep))})
+
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    if n_routes is None:
+        n_routes = auto_routes(cust, orders, line)
+
+    cust_orders = hash_shuffle_join(
+        orders.map_batches(ord_filter, batch_format="pyarrow"),
+        cust.map_batches(cust_region, batch_format="pyarrow"),
+        "o_custkey",
+        "c_custkey",
+        n_routes=n_routes,
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "rev_e4": row_scaled_int(rev, 10_000).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["l_orderkey", "l_suppkey"], sort=False, as_index=False)[
+            "rev_e4"
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def share_partial(df: pd.DataFrame) -> pd.DataFrame:
+        snk, n_names = ray.get(lk_ref)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        sk_ok = (sk >= 0) & (sk < len(snk))
+        s_nat = np.where(sk_ok, snk[np.where(sk_ok, sk, 0)], -1)
+        keep = s_nat >= 0
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "supp_nation": pd.Series([], dtype=object),
+                    "l_year": pd.Series([], dtype=np.int64),
+                    "revenue_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        yr = df["o_year"].to_numpy(np.int64)[keep] - year0
+        code = s_nat[keep] * n_codes_y + yr
+        g = (
+            pd.DataFrame({"code": code, "rev": df["rev_e4"].to_numpy(np.int64)[keep]})
+            .groupby("code", sort=False, as_index=False)["rev"]
+            .sum()
+        )
+        cd = g["code"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "supp_nation": [n_names[i] for i in cd // n_codes_y],
+                "l_year": (cd % n_codes_y) + year0,
+                "revenue_e4": g["rev"].to_numpy(np.int64),
+            }
+        )
+
+    joined = hash_shuffle_join(
+        line.map_batches(line_partial, batch_format="pyarrow"),
+        cust_orders.drop_columns(["o_custkey"]),
+        "l_orderkey",
+        "o_orderkey",
+        n_routes=n_routes,
+        post=share_partial,
+    )
+    # bounded: ≤ |nations| × 2 rows per route group reach the driver
+    parts = joined.to_pandas()
+    agg = parts.groupby(["supp_nation", "l_year"], as_index=False)["revenue_e4"].sum()
+    totals = agg.groupby("l_year")["revenue_e4"].sum().to_dict()
+    share = [
+        (int(r) * 1_000_000) // int(totals[y]) if totals[y] else 0
+        for r, y in zip(agg["revenue_e4"], agg["l_year"])
+    ]
+    agg["share_e6"] = np.array(share, dtype=np.int64)
+    agg = agg.sort_values(["supp_nation", "l_year"], kind="mergesort").reset_index(
+        drop=True
+    )
+    return pa.table(
+        {
+            "supp_nation": pa.array(agg["supp_nation"].tolist(), pa.string()),
+            "l_year": pa.array(agg["l_year"].to_numpy(np.int64), pa.int64()),
+            "revenue_e4": pa.array(agg["revenue_e4"].to_numpy(np.int64), pa.int64()),
+            "share_e6": pa.array(agg["share_e6"].to_numpy(np.int64), pa.int64()),
+        }
+    )

@@ -90,3 +90,27 @@ def test_grace_days_monotone():
     joined = pd.concat([s, l], axis=1, keys=["s", "l"]).fillna(0)
     assert (joined["l"] <= joined["s"]).all()
     assert joined["s"].sum() > joined["l"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nation_trade_volume_structure():
+    """Q7 shape: no same-nation pairs, only in-window years, route-count
+    invariant."""
+    out = _df(relational.nation_trade_volume(SF))
+    assert len(out) > 0
+    assert (out["supp_nation"] != out["cust_nation"]).all()
+    assert set(out["l_year"]) <= {1995, 1996}
+    assert (out["revenue_e4"] > 0).all()
+    assert _df(relational.nation_trade_volume(SF, n_routes=5)).equals(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nation_market_share_sums_to_one():
+    """Q8 shape: per-year floor-division shares sum to 1e6 minus at most
+    one floor unit per nation; region filter keeps only region customers."""
+    out = _df(relational.nation_market_share(SF))
+    assert len(out) > 0
+    for y, g in out.groupby("l_year"):
+        s = int(g["share_e6"].sum())
+        assert 1_000_000 - len(g) < s <= 1_000_000
+    assert _df(relational.nation_market_share(SF, n_routes=5)).equals(out)
