@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rarity_scores": text.rarity_scores,
         "nation_trade_volume": relational.nation_trade_volume,
         "nation_market_share": relational.nation_market_share,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "top_supplier_revenue": relational.top_supplier_revenue,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1305,6 +1307,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST((CAST(a.revenue_e4 AS HUGEINT) * 1000000) // t.tot "
             "AS BIGINT) AS share_e6 "
             "FROM a JOIN t ON a.l_year = t.l_year"
+        ),
+        # TPC-H Q13 shape: customer order-count distribution incl. the
+        # zero bucket (LEFT JOIN in SQL; metadata-count minus nonzero in
+        # the engine under the repo-wide FK-clean assumption)
+        "customer_order_distribution": (
+            "WITH o AS (SELECT o_custkey, count(*)::BIGINT AS n "
+            "FROM orders GROUP BY o_custkey), "
+            "j AS (SELECT coalesce(o.n, 0) AS c_count "
+            "FROM customer LEFT JOIN o ON c_custkey = o.o_custkey) "
+            "SELECT c_count, count(*)::BIGINT AS custdist "
+            "FROM j GROUP BY c_count"
+        ),
+        # TPC-H Q15 shape: max-revenue supplier(s) over one quarter,
+        # ties kept (nested max, like the reference query)
+        "top_supplier_revenue": (
+            "WITH r AS (SELECT l_suppkey, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS rev "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, r.rev AS total_revenue_e4 "
+            "FROM supplier JOIN r ON s_suppkey = l_suppkey "
+            "WHERE r.rev = (SELECT max(rev) FROM r)"
         ),
         # with-replacement stratified sample: per-(type, draw) argmin of
         # the md5(event_id:draw) priority over an events × range(k) cross

@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "rarity_scores",
     "nation_trade_volume",
     "nation_market_share",
+    "customer_order_distribution",
+    "top_supplier_revenue",
 ]
 
 

@@ -2208,3 +2208,136 @@ def nation_market_share(
             "share_e6": pa.array(agg["share_e6"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def customer_order_distribution(sf_dir: str):
+    """TPC-H Q13-shaped customer order-count distribution (public query
+    shape): how many customers placed exactly n orders, INCLUDING the
+    zero bucket. Double aggregation with no join:
+
+      orders per-batch COMBINER (count by o_custkey inside each block)
+        → ONE groupby sum on custkey — the only unbounded exchange, and
+        it moves (custkey, count) ints only;
+      per-block counts-of-counts partial over the aggregated table
+        (bounded: ≤ max_orders_per_customer rows per block) → bounded
+        driver merge;
+      the zero bucket is total customers (parquet metadata count — no
+        scan) minus customers with ≥ 1 order (FK-clean assumption,
+        repo-wide for TPC-H data: every o_custkey is a real customer).
+
+    Pure integer counts — exact at any scale."""
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["o_custkey"].combine_chunks())
+        return pa.table(
+            {
+                "ck": vc.field("values").cast(pa.int64()),
+                "n": vc.field("counts"),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["n"].combine_chunks())
+        return pa.table(
+            {
+                "c_count": vc.field("values").cast(pa.int64()),
+                "custdist": vc.field("counts"),
+            }
+        )
+
+    parts = per_cust.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    total_cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"]).count()
+    zero = int(total_cust) - int(agg["custdist"].sum())
+    if zero > 0:
+        agg = pd.concat(
+            [agg, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    agg = agg.sort_values("c_count", kind="mergesort").reset_index(drop=True)
+    return pa.table(
+        {
+            "c_count": pa.array(agg["c_count"].to_numpy(np.int64), pa.int64()),
+            "custdist": pa.array(agg["custdist"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15-shaped top supplier (public query shape): the
+    supplier(s) with the maximum revenue over one quarter — ties kept,
+    like the reference query's nested max. Shape:
+
+      lineitem(quarter window) per-batch COMBINER (row-scaled-int
+        revenue pre-summed by l_suppkey inside each block) → ONE groupby
+        sum on suppkey (ints only on the wire);
+      the aggregated table is ≤ |suppliers| rows (a dim cardinality —
+        small everywhere, even at 100 TB), so max + tie winners are one
+        bounded driver merge; supplier names attach via a driver lookup
+        on the ≤ |winners| rows.
+
+    Integer-exact export: revenue_e4 sums per-ROW
+    floor(l_extendedprice*(1-l_discount)*1e4 + 0.5)."""
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)
+        )
+        t = t.filter(m)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "sk": t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "rev_e4": row_scaled_int(rev, 10_000).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("sk", sort=False, as_index=False)["rev_e4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_supp = (
+        line.map_batches(line_partial, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    )
+
+    # bounded driver merge: the aggregated table is ≤ |suppliers| rows
+    df = per_supp.to_pandas()
+    best = int(df["rev_e4"].max())
+    winners = (
+        df[df["rev_e4"] == best]
+        .sort_values("sk", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    supp = pd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    name_by_key = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners["sk"].to_numpy(np.int64), pa.int64()),
+            "s_name": pa.array(
+                [name_by_key.get(int(k), "") for k in winners["sk"]], pa.string()
+            ),
+            "total_revenue_e4": pa.array(
+                winners["rev_e4"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )

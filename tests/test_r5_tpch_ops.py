@@ -114,3 +114,42 @@ def test_nation_market_share_sums_to_one():
         s = int(g["share_e6"].sum())
         assert 1_000_000 - len(g) < s <= 1_000_000
     assert _df(relational.nation_market_share(SF, n_routes=5)).equals(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_customer_order_distribution_conserves_totals():
+    """Q13 shape: the histogram partitions customers exactly, and its
+    weighted sum recovers the total order count."""
+    out = _df(relational.customer_order_distribution(SF))
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+    assert int(out["custdist"].sum()) == len(cust)
+    assert int((out["c_count"] * out["custdist"]).sum()) == len(orders)
+    ref = orders.groupby("o_custkey").size()
+    zero = len(cust) - ref.index.nunique()
+    got_zero = out.loc[out["c_count"] == 0, "custdist"]
+    assert (int(got_zero.iloc[0]) if len(got_zero) else 0) == zero
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_supplier_revenue_matches_reference():
+    """Q15 shape: every returned row carries the same (maximal) revenue,
+    matching a pandas per-row-floored reference."""
+    out = _df(relational.top_supplier_revenue(SF))
+    assert len(out) >= 1
+    assert out["total_revenue_e4"].nunique() == 1
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    li = li[(li["l_shipdate"] >= "1996-01-01") & (li["l_shipdate"] < "1996-04-01")]
+    rev = np.floor(
+        li["l_extendedprice"].to_numpy(np.float64)
+        * (1.0 - li["l_discount"].to_numpy(np.float64))
+        * 10_000
+        + 0.5
+    ).astype(np.int64)
+    ref = pd.DataFrame({"sk": li["l_suppkey"].to_numpy(np.int64), "rev": rev})
+    ref = ref.groupby("sk")["rev"].sum()
+    assert int(out["total_revenue_e4"].iloc[0]) == int(ref.max())
+    assert set(out["s_suppkey"]) == set(ref[ref == ref.max()].index)
