@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": relational.nation_market_share,
         "customer_order_distribution": relational.customer_order_distribution,
         "top_supplier_revenue": relational.top_supplier_revenue,
+        "small_quantity_revenue": relational.small_quantity_revenue,
         # approximate sketches (no exact oracle by nature; tolerance-tested)
         "hll_distinct_users": sketches.hll_distinct_users,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1332,6 +1333,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_suppkey, s_name, r.rev AS total_revenue_e4 "
             "FROM supplier JOIN r ON s_suppkey = l_suppkey "
             "WHERE r.rev = (SELECT max(rev) FROM r)"
+        ),
+        # TPC-H Q17 shape: correlated subquery as self-join through a
+        # per-part aggregate; the 0.2·avg predicate rearranged to the
+        # integer inequality 5·q_e2·cnt < sum_q_e2 (no float average)
+        "small_quantity_revenue": (
+            "WITH s AS (SELECT l_partkey AS pk, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sq, count(*)::BIGINT AS cnt "
+            "FROM lineitem GROUP BY l_partkey) "
+            "SELECT p_brand, "
+            "CAST(sum(CAST(floor(l_extendedprice*10000 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS revenue_e4, count(*)::BIGINT AS n_items "
+            "FROM lineitem JOIN s ON l_partkey = s.pk "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE 5 * CAST(floor(l_quantity*100 + 0.5) AS BIGINT) * cnt "
+            "< sq GROUP BY p_brand"
         ),
         # with-replacement stratified sample: per-(type, draw) argmin of
         # the md5(event_id:draw) priority over an events × range(k) cross

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "nation_market_share",
     "customer_order_distribution",
     "top_supplier_revenue",
+    "small_quantity_revenue",
 ]
 
 

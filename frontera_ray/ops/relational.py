@@ -2341,3 +2341,120 @@ def top_supplier_revenue(sf_dir: str):
             ),
         }
     )
+
+
+def small_quantity_revenue(sf_dir: str, n_routes: int | None = None):
+    """TPC-H Q17-shaped small-quantity-order revenue (public query
+    shape): per part brand, the revenue from lineitems whose quantity is
+    below 20% of their part's average quantity — the
+    correlated-subquery-as-self-join pattern:
+
+      pass 1: lineitem per-block COMBINER (sum of e2-scaled quantity +
+        row count per partkey) → ONE groupby on partkey — ints only;
+      pass 2: lineitem rows (partkey, q_e2, rev_e4 — NO combiner: every
+        row is tested individually, so n_items is layout-invariant)
+        ⋈ the per-part stats on partkey via hash_shuffle_join, the
+        predicate + per-brand partial folded into the route groups
+        (post=); brand attaches via a broadcast dense-key array;
+      bounded driver merge (≤ |brands| rows per group).
+
+    Integer-exact predicate: l_quantity < 0.2·avg(l_quantity) ⟺
+    5·q_e2·cnt < sum_q_e2 — pure int64 inequality, no float average
+    anywhere (the SQL mirror uses the same rearrangement)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    brand_by_key = np.full(int(part["p_partkey"].max()) + 1, "", dtype=object)
+    brand_by_key[part["p_partkey"].to_numpy(np.int64)] = part["p_brand"].to_numpy(
+        object
+    )
+    bk_ref = ray.put(brand_by_key)
+
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    if n_routes is None:
+        n_routes = auto_routes(line)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ps_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                "sq": row_scaled_int(t["l_quantity"], 100).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = df.groupby("ps_partkey", sort=False, as_index=False).agg(
+            sq=("sq", "sum"), cnt=("sq", "size")
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        line.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("ps_partkey")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("cnt", alias_name="cnt"))
+    )
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "q_e2": row_scaled_int(t["l_quantity"], 100),
+                "rev_e4": row_scaled_int(t["l_extendedprice"], 10_000),
+            }
+        )
+
+    def brand_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bk = ray.get(bk_ref)
+        q = df["q_e2"].to_numpy(np.int64)
+        keep = 5 * q * df["cnt"].to_numpy(np.int64) < df["sq"].to_numpy(np.int64)
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "p_brand": pd.Series([], dtype=object),
+                    "revenue_e4": pd.Series([], dtype=np.int64),
+                    "n_items": pd.Series([], dtype=np.int64),
+                }
+            )
+        pk = df["l_partkey"].to_numpy(np.int64)[keep]
+        # bounds-mask BEFORE indexing (star_join lesson)
+        pk_ok = (pk >= 0) & (pk < len(bk))
+        g = (
+            pd.DataFrame(
+                {
+                    "p_brand": np.where(pk_ok, bk[np.where(pk_ok, pk, 0)], ""),
+                    "rev": df["rev_e4"].to_numpy(np.int64)[keep],
+                }
+            )
+            .loc[lambda d: d["p_brand"] != ""]
+            .groupby("p_brand", sort=False, as_index=False)
+            .agg(revenue_e4=("rev", "sum"), n_items=("rev", "size"))
+        )
+        g["n_items"] = g["n_items"].astype(np.int64)
+        return g
+
+    joined = hash_shuffle_join(
+        line.map_batches(line_rows, batch_format="pyarrow"),
+        stats,
+        "l_partkey",
+        "ps_partkey",
+        n_routes=n_routes,
+        post=brand_partial,
+    )
+    # bounded: ≤ |brands| rows per route group reach the driver
+    parts_df = joined.to_pandas()
+    agg = parts_df.groupby("p_brand", as_index=False).agg(
+        revenue_e4=("revenue_e4", "sum"), n_items=("n_items", "sum")
+    )
+    agg = agg.sort_values("p_brand", kind="mergesort").reset_index(drop=True)
+    return pa.table(
+        {
+            "p_brand": pa.array(agg["p_brand"].tolist(), pa.string()),
+            "revenue_e4": pa.array(agg["revenue_e4"].to_numpy(np.int64), pa.int64()),
+            "n_items": pa.array(agg["n_items"].to_numpy(np.int64), pa.int64()),
+        }
+    )

@@ -153,3 +153,32 @@ def test_top_supplier_revenue_matches_reference():
     ref = ref.groupby("sk")["rev"].sum()
     assert int(out["total_revenue_e4"].iloc[0]) == int(ref.max())
     assert set(out["s_suppkey"]) == set(ref[ref == ref.max()].index)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_small_quantity_revenue_matches_reference():
+    """Q17 shape: integer-rearranged 0.2·avg predicate equals the float
+    reference on FK-clean data; route-count invariant."""
+    out = _df(relational.small_quantity_revenue(SF))
+    assert len(out) > 0
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    part = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_brand"])
+    q_e2 = np.floor(li["l_quantity"].to_numpy(np.float64) * 100 + 0.5).astype(np.int64)
+    li = li.assign(q_e2=q_e2)
+    s = li.groupby("l_partkey")["q_e2"].agg(["sum", "size"])
+    m = li.merge(s, left_on="l_partkey", right_index=True)
+    keep = 5 * m["q_e2"].to_numpy(np.int64) * m["size"].to_numpy(np.int64) < m[
+        "sum"
+    ].to_numpy(np.int64)
+    ref = (
+        m[keep]
+        .merge(part, left_on="l_partkey", right_on="p_partkey")
+        .groupby("p_brand")
+        .size()
+    )
+    got = out.set_index("p_brand")["n_items"]
+    assert got.to_dict() == ref.to_dict()
+    assert _df(relational.small_quantity_revenue(SF, n_routes=5)).equals(out)
