@@ -2347,22 +2347,30 @@ def small_quantity_revenue(sf_dir: str, n_routes: int | None = None):
     """TPC-H Q17-shaped small-quantity-order revenue (public query
     shape): per part brand, the revenue from lineitems whose quantity is
     below 20% of their part's average quantity — the
-    correlated-subquery-as-self-join pattern:
+    correlated-subquery-as-self-join pattern collapsed to ONE exchange:
 
-      pass 1: lineitem per-block COMBINER (sum of e2-scaled quantity +
-        row count per partkey) → ONE groupby on partkey — ints only;
-      pass 2: lineitem rows (partkey, q_e2, rev_e4 — NO combiner: every
-        row is tested individually, so n_items is layout-invariant)
-        ⋈ the per-part stats on partkey via hash_shuffle_join, the
-        predicate + per-brand partial folded into the route groups
-        (post=); brand attaches via a broadcast dense-key array;
-      bounded driver merge (≤ |brands| rows per group).
+      rows pre-combine per block by (partkey, q_e2) — the predicate
+        depends only on that pair, so a combined group is kept or
+        dropped wholesale and n_items stays layout-invariant — then
+        route = splitmix64(partkey) % n_routes;
+      groupby(route).map_groups: every partkey's rows are COMPLETE
+        within its route group (co-partitioning), so the per-part stats
+        (sum q_e2, count — recovered exactly from the combined rows as
+        Σ q_e2·n and Σ n), the predicate, and the per-brand partial all
+        run inside the ONE group — no separate stats aggregate, no
+        second all-to-all (the hash_shuffle_join(post=) lesson, applied
+        to a self-join: both "sides" are the same rows);
+      brand attaches via a broadcast dense-key array; bounded driver
+        merge (≤ |brands| rows per group). One route group materializes
+        ~1/n_routes of the combined lineitem bytes — the documented
+        256–512 MB worker-heap envelope.
 
     Integer-exact predicate: l_quantity < 0.2·avg(l_quantity) ⟺
     5·q_e2·cnt < sum_q_e2 — pure int64 inequality, no float average
     anywhere (the SQL mirror uses the same rearrangement)."""
     import ray
-    from ray.data.aggregate import Sum
+
+    from ..strategy import splitmix64
 
     part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
     brand_by_key = np.full(int(part["p_partkey"].max()) + 1, "", dtype=object)
@@ -2378,40 +2386,39 @@ def small_quantity_revenue(sf_dir: str, n_routes: int | None = None):
     if n_routes is None:
         n_routes = auto_routes(line)
 
-    def qty_partial(t: pa.Table) -> pa.Table:
+    def combine_rows(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
-                "ps_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
-                "sq": row_scaled_int(t["l_quantity"], 100).to_numpy(
+                "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                "q_e2": row_scaled_int(t["l_quantity"], 100).to_numpy(
+                    zero_copy_only=False
+                ),
+                "rev_e4": row_scaled_int(t["l_extendedprice"], 10_000).to_numpy(
                     zero_copy_only=False
                 ),
             }
         )
-        g = df.groupby("ps_partkey", sort=False, as_index=False).agg(
-            sq=("sq", "sum"), cnt=("sq", "size")
+        g = df.groupby(["l_partkey", "q_e2"], sort=False, as_index=False).agg(
+            rev_e4=("rev_e4", "sum"), n=("rev_e4", "size")
         )
-        g["cnt"] = g["cnt"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        g["route"] = (
+            splitmix64(g["l_partkey"].to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_routes)
+        ).astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    stats = (
-        line.map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("ps_partkey")
-        .aggregate(Sum("sq", alias_name="sq"), Sum("cnt", alias_name="cnt"))
-    )
-
-    def line_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_partkey": t["l_partkey"],
-                "q_e2": row_scaled_int(t["l_quantity"], 100),
-                "rev_e4": row_scaled_int(t["l_extendedprice"], 10_000),
-            }
-        )
-
-    def brand_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
         bk = ray.get(bk_ref)
+        pk = df["l_partkey"].to_numpy(np.int64)
         q = df["q_e2"].to_numpy(np.int64)
-        keep = 5 * q * df["cnt"].to_numpy(np.int64) < df["sq"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        gb = pd.Series(q * n).groupby(pk)
+        sq = gb.transform("sum").to_numpy(np.int64)
+        cnt = pd.Series(n).groupby(pk).transform("sum").to_numpy(np.int64)
+        keep = 5 * q * cnt < sq
         if not keep.any():
             return pd.DataFrame(
                 {
@@ -2420,33 +2427,30 @@ def small_quantity_revenue(sf_dir: str, n_routes: int | None = None):
                     "n_items": pd.Series([], dtype=np.int64),
                 }
             )
-        pk = df["l_partkey"].to_numpy(np.int64)[keep]
+        pkk = pk[keep]
         # bounds-mask BEFORE indexing (star_join lesson)
-        pk_ok = (pk >= 0) & (pk < len(bk))
+        pk_ok = (pkk >= 0) & (pkk < len(bk))
         g = (
             pd.DataFrame(
                 {
-                    "p_brand": np.where(pk_ok, bk[np.where(pk_ok, pk, 0)], ""),
+                    "p_brand": np.where(pk_ok, bk[np.where(pk_ok, pkk, 0)], ""),
                     "rev": df["rev_e4"].to_numpy(np.int64)[keep],
+                    "n": n[keep],
                 }
             )
             .loc[lambda d: d["p_brand"] != ""]
             .groupby("p_brand", sort=False, as_index=False)
-            .agg(revenue_e4=("rev", "sum"), n_items=("rev", "size"))
+            .agg(revenue_e4=("rev", "sum"), n_items=("n", "sum"))
         )
-        g["n_items"] = g["n_items"].astype(np.int64)
         return g
 
-    joined = hash_shuffle_join(
-        line.map_batches(line_rows, batch_format="pyarrow"),
-        stats,
-        "l_partkey",
-        "ps_partkey",
-        n_routes=n_routes,
-        post=brand_partial,
+    grouped = (
+        line.map_batches(combine_rows, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(group_fn, batch_format="pandas")
     )
     # bounded: ≤ |brands| rows per route group reach the driver
-    parts_df = joined.to_pandas()
+    parts_df = grouped.to_pandas()
     agg = parts_df.groupby("p_brand", as_index=False).agg(
         revenue_e4=("revenue_e4", "sum"), n_items=("n_items", "sum")
     )
