@@ -2213,48 +2213,54 @@ def nation_market_share(
 def customer_order_distribution(sf_dir: str):
     """TPC-H Q13-shaped customer order-count distribution (public query
     shape): how many customers placed exactly n orders, INCLUDING the
-    zero bucket. Double aggregation with no join:
+    zero bucket. One route-group exchange, no Ray aggregate:
 
-      orders per-batch COMBINER (count by o_custkey inside each block)
-        → ONE groupby sum on custkey — the only unbounded exchange, and
-        it moves (custkey, count) ints only;
-      per-block counts-of-counts partial over the aggregated table
-        (bounded: ≤ max_orders_per_customer rows per block) → bounded
-        driver merge;
-      the zero bucket is total customers (parquet metadata count — no
-        scan) minus customers with ≥ 1 order (FK-clean assumption,
-        repo-wide for TPC-H data: every o_custkey is a real customer).
+      orders per-block COMBINER (value_counts by o_custkey) tagged
+        route = splitmix64(custkey) % n_routes;
+      groupby(route).map_groups: a custkey's partials are COMPLETE
+        within its route group, so the per-customer total and the
+        counts-of-counts partial both run inside the group
+        (≤ distinct-count values rows leave each group);
+      bounded driver merge; the zero bucket is total customers (parquet
+        metadata count — no scan) minus customers with ≥ 1 order
+        (FK-clean assumption, repo-wide for TPC-H data).
 
     Pure integer counts — exact at any scale."""
-    from ray.data.aggregate import Sum
+    from ..strategy import splitmix64
 
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    n_routes = auto_routes(orders)
 
     def count_partial(t: pa.Table) -> pa.Table:
         vc = pc.value_counts(t["o_custkey"].combine_chunks())
+        ck = vc.field("values").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        route = (
+            splitmix64(ck.view(np.uint64)) % np.uint64(n_routes)
+        ).astype(np.int64)
         return pa.table(
             {
-                "ck": vc.field("values").cast(pa.int64()),
+                "ck": pa.array(ck, pa.int64()),
                 "n": vc.field("counts"),
+                "route": pa.array(route, pa.int64()),
             }
         )
 
-    per_cust = (
-        orders.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("ck")
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        vc = pc.value_counts(t["n"].combine_chunks())
-        return pa.table(
+    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
+        per_cust = df.groupby("ck", sort=False)["n"].sum()
+        hist = per_cust.value_counts()
+        return pd.DataFrame(
             {
-                "c_count": vc.field("values").cast(pa.int64()),
-                "custdist": vc.field("counts"),
+                "c_count": hist.index.to_numpy(np.int64),
+                "custdist": hist.to_numpy(np.int64),
             }
         )
 
-    parts = per_cust.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    parts = (
+        orders.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(group_fn, batch_format="pandas")
+        .to_pandas()
+    )
     agg = parts.groupby("c_count", as_index=False)["custdist"].sum()
     total_cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"]).count()
     zero = int(total_cust) - int(agg["custdist"].sum())
