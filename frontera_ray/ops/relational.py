@@ -886,17 +886,36 @@ def window_hopping(sf_dir: str, size_min: int = 60, hop_min: int = 30):
             }
         )
 
+    # round-5: the two-Sum Ray sort-aggregate replaced with one
+    # route-group exchange (the Q17/Q13 lesson): route by
+    # splitmix64(user), a user's partials are complete within the group
+    from ..strategy import splitmix64
+
+    n_routes = auto_routes(ds)
+
+    def add_route(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        route = (
+            splitmix64(uid.view(np.uint64)) % np.uint64(n_routes)
+        ).astype(np.int64)
+        return t.append_column("route", pa.array(route, pa.int64()))
+
+    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "window_start"], sort=False, as_index=False).agg(
+            n=("n", "sum"), sum_value_e4=("value_e4", "sum")
+        )
+        return g
+
     out = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(Sum("n", alias_name="n"), Sum("value_e4", alias_name="sum_value_e4"))
+        .map_batches(add_route, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(group_fn, batch_format="pandas")
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        return t.set_column(
-            t.schema.get_field_index("window_start"),
-            "window_start",
-            pc.cast(t["window_start"], pa.timestamp("us")),
+        return t.select(["user_id", "window_start", "n", "sum_value_e4"]).set_column(
+            1, "window_start", pc.cast(t["window_start"], pa.timestamp("us"))
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
