@@ -217,32 +217,53 @@ def window_tumbling(sf_dir: str):
     column computation, the shuffle is on the (user, window) pair)."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
+    from ..strategy import splitmix64
+
+    n_routes = auto_routes(ds)
+
     def bucket(t: pa.Table) -> pa.Table:
         # cast back to us: floor_temporal narrows the unit, and the oracle
         # (DuckDB date_trunc) stays timestamp[us]; value exported as
-        # per-row e4 ints (round-4 exact-export rule)
+        # per-row e4 ints (round-4 exact-export rule). round-5: within-
+        # batch combiner + splitmix route — the exchange ships one row
+        # per (user, window) per block, and the final sums run inside a
+        # route group (a user's partials are complete there), not Ray's
+        # sort-aggregate
         ws = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us"))
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "user_id": t["user_id"],
-                "window_start": ws,
-                "value_e4": row_scaled_int(t["value"], 10_000),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "window_start": ws.to_numpy(zero_copy_only=False),
+                "value_e4": row_scaled_int(t["value"], 10_000).to_numpy(
+                    zero_copy_only=False
+                ),
             }
         )
+        g = df.groupby(["user_id", "window_start"], sort=False, as_index=False).agg(
+            n=("value_e4", "size"), value_e4=("value_e4", "sum")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["route"] = (
+            splitmix64(g["user_id"].to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_routes)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = ds.map_batches(bucket, batch_format="pyarrow")
-    out = ds.groupby(["user_id", "window_start"]).aggregate(
-        Count(alias_name="n"), Sum("value_e4", alias_name="sum_value_e4")
+    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "window_start"], sort=False, as_index=False).agg(
+            n=("n", "sum"), sum_value_e4=("value_e4", "sum")
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(group_fn, batch_format="pandas")
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        # Ray's aggregate narrows the key to timestamp[s]; restore [us] to
-        # match the oracle's date_trunc output type
-        return t.set_column(
-            t.schema.get_field_index("window_start"),
-            "window_start",
-            pc.cast(t["window_start"], pa.timestamp("us")),
-        )
+        return t.select(
+            ["user_id", "window_start", "n", "sum_value_e4"]
+        ).set_column(1, "window_start", pc.cast(t["window_start"], pa.timestamp("us")))
 
     return out.map_batches(finish, batch_format="pyarrow")
 
