@@ -1656,18 +1656,33 @@ def returned_item_revenue(sf_dir: str, k: int = 20, n_routes: int | None = None)
         post=cust_partial,
     )
 
-    per_cust = joined.groupby("o_custkey").aggregate(
-        Sum("revenue_e4", alias_name="revenue_e4")
-    )
+    # round-5: the custkey re-key is a route-group exchange (the
+    # Q17/Q13 lesson) — a custkey's partials are complete within its
+    # group, so the sum AND the local top-k run inside map_groups;
+    # ≤ k rows per group reach the driver
+    from ..strategy import splitmix64
+
+    def add_route(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        route = (
+            splitmix64(ck.view(np.uint64)) % np.uint64(n_routes)
+        ).astype(np.int64)
+        return t.append_column("route", pa.array(route, pa.int64()))
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(
             ["revenue_e4", "o_custkey"], ascending=[False, True], kind="mergesort"
         ).head(k)
 
-    # bounded: ≤ k rows per block reach the driver
+    def cust_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False, as_index=False)["revenue_e4"].sum()
+        return topk(g)
+
     winners = topk(
-        per_cust.map_batches(topk, batch_format="pandas").to_pandas()
+        joined.map_batches(add_route, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(cust_group, batch_format="pandas")
+        .to_pandas()
     ).reset_index(drop=True)
 
     want = set(winners["o_custkey"].astype(np.int64).tolist())
