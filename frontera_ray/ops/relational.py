@@ -175,32 +175,62 @@ def pricing_summary(sf_dir: str):
 
     def prep(t: pa.Table) -> pa.Table:
         # per-ROW integer exports (round-4 exact-export rule): engines
-        # then sum identical int64s in any order
+        # then sum identical int64s in any order. round-5: within-batch
+        # combiner — the (flag, status) key space is ~6, so ≤ 6 rows per
+        # block reach the driver and the merge needs NO shuffle at all
         t = t.filter(pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1997-09-01", "us"))))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "qty_i": row_scaled_int(t["l_quantity"], 1),
-                "cents": row_scaled_int(t["l_extendedprice"], 100),
-                "rev_e4": row_scaled_int(rev, 10_000),
-                "disc_e6": row_scaled_int(t["l_discount"], 1_000_000),
+                "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+                "l_linestatus": t["l_linestatus"].to_numpy(zero_copy_only=False),
+                "qty_i": row_scaled_int(t["l_quantity"], 1).to_numpy(
+                    zero_copy_only=False
+                ),
+                "cents": row_scaled_int(t["l_extendedprice"], 100).to_numpy(
+                    zero_copy_only=False
+                ),
+                "rev_e4": row_scaled_int(rev, 10_000).to_numpy(zero_copy_only=False),
+                "disc_e6": row_scaled_int(t["l_discount"], 1_000_000).to_numpy(
+                    zero_copy_only=False
+                ),
             }
         )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False).agg(
+            sum_qty=("qty_i", "sum"),
+            sum_base_price_cents=("cents", "sum"),
+            sum_disc_price_e4=("rev_e4", "sum"),
+            disc_e6_sum=("disc_e6", "sum"),
+            count_order=("qty_i", "size"),
+        )
+        g["count_order"] = g["count_order"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = ds.map_batches(prep, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_i", alias_name="sum_qty"),
-        Sum("cents", alias_name="sum_base_price_cents"),
-        Sum("rev_e4", alias_name="sum_disc_price_e4"),
-        Sum("disc_e6", alias_name="disc_e6_sum"),
-        Count(alias_name="count_order"),
-    )
+    # bounded driver merge: ≤ 6 tiny partial rows per block
+    parts = ds.map_batches(prep, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    agg = agg.sort_values(["l_returnflag", "l_linestatus"], kind="mergesort")
     # avg of the e6-rounded discounts: floor(int_sum / n + 0.5)
-    return out.map_batches(
-        lambda t: _int_avg(t, "disc_e6_sum", "count_order", "avg_disc_e6"),
-        batch_format="pyarrow",
+    avg = np.floor(
+        agg["disc_e6_sum"].to_numpy(np.float64)
+        * 1.0
+        / agg["count_order"].to_numpy(np.float64)
+        + 0.5
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(agg["l_returnflag"].tolist(), pa.string()),
+            "l_linestatus": pa.array(agg["l_linestatus"].tolist(), pa.string()),
+            "sum_qty": pa.array(agg["sum_qty"].to_numpy(np.int64), pa.int64()),
+            "sum_base_price_cents": pa.array(
+                agg["sum_base_price_cents"].to_numpy(np.int64), pa.int64()
+            ),
+            "sum_disc_price_e4": pa.array(
+                agg["sum_disc_price_e4"].to_numpy(np.int64), pa.int64()
+            ),
+            "count_order": pa.array(agg["count_order"].to_numpy(np.int64), pa.int64()),
+            "avg_disc_e6": pa.array(avg, pa.int64()),
+        }
     )
 
 
