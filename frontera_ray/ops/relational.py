@@ -235,10 +235,34 @@ def pricing_summary(sf_dir: str):
 
 
 def distinct_pairs(sf_dir: str):
-    """DISTINCT (A4) over two columns — expressed as a groupby with no
-    aggregates (one shuffle on the pair key)."""
+    """DISTINCT (A4) over two columns whose value space is BOUNDED:
+    per-batch dedup (≤ |langs|·|sources| rows per block) + driver-side
+    dedup of the tiny partials — no shuffle. The unbounded-distinct
+    shape (hash-key groupby) lives in exact_dedup."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
-    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n")).drop_columns(["n"])
+
+    def dp(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+                "source": t["source"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(dp, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+        .sort_values(["lang", "source"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"].tolist(), pa.string()),
+            "source": pa.array(out["source"].tolist(), pa.string()),
+        }
+    )
 
 
 def window_tumbling(sf_dir: str):
@@ -882,11 +906,27 @@ def value_histogram(sf_dir: str, width: float = 25.0):
 
 def rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP(lang, source) counts: detail + per-lang subtotal +
-    grand total, expressed as three Arrow-native groupbys unioned with
-    null-filled grouping columns (each level is its own small shuffle of
-    pre-aggregated partials — the standard rollup-at-scale shape)."""
+    grand total. The (lang, source) key space is tiny, so the detail
+    level is a within-batch combiner (≤ |langs|·|sources| rows per
+    block) merged on the driver — no shuffle at all; the subtotal and
+    total levels derive from the detail frame (the rollup-at-scale
+    shape: every level is pre-aggregated before it moves)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
-    detail = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n")).to_pandas()
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+                "source": t["source"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["lang", "source"], sort=False, as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(pair_counts, batch_format="pyarrow").to_pandas()
+    detail = parts.groupby(["lang", "source"], as_index=False)["n"].sum()
     by_lang = detail.groupby("lang", as_index=False)["n"].sum()
     by_lang["source"] = None
     total = pd.DataFrame({"lang": [None], "source": [None], "n": [int(detail["n"].sum())]})
