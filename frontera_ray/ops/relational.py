@@ -634,14 +634,25 @@ def anti_join(sf_dir: str):
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
 
     def keep_orderless(t: pa.Table) -> pa.Table:
+        # per-batch partial: filter + per-nation bincount (≤ |nations|
+        # rows per block) — the tiny merge needs no shuffle (round-5,
+        # the pricing_summary move)
         keys = t["c_custkey"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(~np.isin(keys, ray.get(have_ref))))
+        sub = t.filter(pa.array(~np.isin(keys, ray.get(have_ref))))
+        nk = sub["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(nk, return_counts=True)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(vals.astype(np.int32), pa.int32()),
+                "n_no_orders": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
 
     out = (
         cust.map_batches(keep_orderless, batch_format="pyarrow")
-        .groupby("c_nationkey")
-        .aggregate(Count(alias_name="n_no_orders"))
-        .to_pandas()  # ≤ #nations rows; typed even when empty
+        .to_pandas()  # ≤ #nations × #blocks tiny partial rows
+        .groupby("c_nationkey", as_index=False)["n_no_orders"]
+        .sum()
     )
     return pa.table(
         {
