@@ -122,42 +122,46 @@ def ann_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8):
 def embedding_stats(sf_dir: str):
     """Per-label vector aggregates (the groupby tier of embedding
     pipelines): count + scaled mean of per-vector component sums. Arrow
-    list column → numpy per batch, ONE small groupby of partials."""
-    import pandas as pd
+    list column → numpy per batch, per-label combiner partials merged on
+    the driver (≤ |labels| rows per block — no shuffle)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # round-5: per-batch combiner — ≤ |labels| partial rows per
+        # block, so the merge is a bounded driver groupby (no shuffle)
         sums = _emb_matrix(t["embedding"]).sum(axis=1)
-        return pa.table({"label": t["label"], "vsum": pa.array(sums, pa.float64())})
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, inv, cnts = np.unique(lab, return_inverse=True, return_counts=True)
+        vsum = np.zeros(len(vals), np.float64)
+        np.add.at(vsum, inv, sums)
+        return pa.table(
+            {
+                "label": pa.array(vals, pa.int64()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+                "vsum": pa.array(vsum, pa.float64()),
+            }
+        )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("label")
-        .aggregate(Count(alias_name="n"), Sum("vsum", alias_name="mean_vsum_e4"))
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("label", as_index=False).agg(
+        n=("n", "sum"), vsum=("vsum", "sum")
     )
-
-    def finish(t: pa.Table) -> pa.Table:
-        s = t["mean_vsum_e4"].to_numpy(zero_copy_only=False)
-        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = np.floor(s / n * 10_000 + 0.5).astype(np.int64)
-        t = t.set_column(
-            t.schema.get_field_index("mean_vsum_e4"),
-            "mean_vsum_e4",
-            pa.array(v, pa.int64()),
-        )
-        # Ray's aggregate upcasts the int32 key; restore the source dtype
-        import pyarrow.compute as pc
-
-        return t.set_column(
-            t.schema.get_field_index("label"),
-            "label",
-            pc.cast(t["label"], pa.int32()),
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    agg = agg.sort_values("label", kind="mergesort").reset_index(drop=True)
+    v = np.floor(
+        agg["vsum"].to_numpy(np.float64)
+        / agg["n"].to_numpy(np.int64).astype(np.float64)
+        * 10_000
+        + 0.5
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "label": pa.array(agg["label"].to_numpy(np.int64).astype(np.int32), pa.int32()),
+            "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "mean_vsum_e4": pa.array(v, pa.int64()),
+        }
+    )
 
 
 class LshIndexStage:

@@ -352,17 +352,36 @@ def semi_join(sf_dir: str):
     def keep(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         sub = t.filter(pa.array(np.isin(uid, ray.get(keys_ref))))
-        # per-row e4 ints (round-4 exact-export rule)
-        return pa.table(
+        # per-row e4 ints (round-4 exact-export rule), combined to
+        # ≤ |event types| partial rows per block (round-5: the tiny
+        # merge needs no shuffle — the pricing_summary move)
+        df = pd.DataFrame(
             {
-                "event_type": sub["event_type"],
-                "value_e4": row_scaled_int(sub["value"], 10_000),
+                "event_type": sub["event_type"].to_numpy(zero_copy_only=False),
+                "value_e4": row_scaled_int(sub["value"], 10_000).to_numpy(
+                    zero_copy_only=False
+                ),
             }
         )
+        g = df.groupby("event_type", sort=False, as_index=False).agg(
+            n=("value_e4", "size"), sum_value_e4=("value_e4", "sum")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = ds.map_batches(keep, batch_format="pyarrow")
-    return ds.groupby("event_type").aggregate(
-        Count(alias_name="n"), Sum("value_e4", alias_name="sum_value_e4")
+    parts = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_value_e4=("sum_value_e4", "sum")
+    )
+    agg = agg.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"].tolist(), pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "sum_value_e4": pa.array(
+                agg["sum_value_e4"].to_numpy(np.int64), pa.int64()
+            ),
+        }
     )
 
 
